@@ -1,0 +1,408 @@
+"""Summary statistics: multipole power spectra, transfer/coherence, binned
+MSEs, the curved-sky mu^2 operator, and chain diagnostics (ESS, Gelman-Rubin).
+
+The spectrum estimator is a `jnp.bincount` reduction over the digitized |k|
+mesh with Hermitian double-count weights — a single segmented reduction on
+TPU.  Bin edges and Legendre weights are numpy constants.
+
+Parity: reference `montecosmo/metrics.py` (spectrum/_waves:60-187,
+transfer/coherence/powtranscoh:190-210, bin_and_aggregate + mse_*:214-313,
+kaiser_formula:349, mu2-delta operators:374-445, wigner3j_square:467-537,
+multi_ess/multi_gr:565-579).  Chain diagnostics are implemented natively
+(the reference used numpyro.diagnostics).
+"""
+import math
+from functools import partial
+
+import numpy as np
+from jax import numpy as jnp
+from scipy.special import factorial, legendre, lpmv
+
+from montecosmo_tpu.ops.fourier import bspline_hat, rfftk
+from montecosmo_tpu.ops.hermitian import ch2rshape
+from montecosmo_tpu.utils.safe import safe_div
+
+
+# ----------------------------------------------------------------------- binning
+def _waves(mesh_shape, box_size, kedges, include_corners, los):
+    """k-bin edges (default width sqrt(d) k_fund, the minimum for connected
+    shells), |k| mesh, mu mesh, and rfft Hermitian double-count weights."""
+    kvec = rfftk(mesh_shape, box_size)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+    mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, los)), kmesh)
+
+    if isinstance(kedges, (type(None), int, float)):
+        dim = len(mesh_shape)
+        kmin = 0.0
+        kmax = np.pi * (np.asarray(mesh_shape) / np.asarray(box_size)).min()
+        if include_corners:
+            kmax = kmesh.max()
+        if kedges is None:
+            dk = dim**0.5 * 2 * np.pi / np.asarray(box_size).min()
+            n_kedges = max(int((kmax - kmin) / dk), 1)
+        elif isinstance(kedges, int):
+            n_kedges = kedges
+        else:
+            n_kedges = max(int((kmax - kmin) / kedges), 1)
+        dk = (kmax - kmin) / n_kedges
+        kedges = np.linspace(kmin, kmax, n_kedges, endpoint=False) + dk / 2
+
+    rfftw = np.full(kmesh.shape, 2.0)
+    rfftw[..., 0] = 1.0
+    if mesh_shape[-1] % 2 == 0:
+        rfftw[..., -1] = 1.0
+    return np.asarray(kedges), kmesh, mumesh, rfftw
+
+
+def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
+              ells=0, kedges=None, include_corners=True, deconv=(0, 0)):
+    """Auto/cross multipole power spectrum of 3D fields."""
+    box_center = np.asarray(box_center)
+    los = safe_div(box_center, np.linalg.norm(box_center))
+    if isinstance(deconv, int):
+        deconv = (deconv, deconv)
+
+    if jnp.isrealobj(mesh0):
+        mesh_shape = np.array(mesh0.shape)
+        mesh0 = jnp.fft.rfftn(mesh0)
+    else:
+        mesh_shape = np.array(ch2rshape(mesh0.shape))
+
+    kvec = rfftk(tuple(mesh_shape))  # cell units for window deconvolution
+    if deconv[0]:
+        mesh0 = mesh0 / bspline_hat(kvec, order=deconv[0])
+
+    if mesh1 is None:
+        mmk = mesh0.real**2 + mesh0.imag**2
+    else:
+        if jnp.isrealobj(mesh1):
+            mesh1 = jnp.fft.rfftn(mesh1)
+        if deconv[1]:
+            mesh1 = mesh1 / bspline_hat(kvec, order=deconv[1])
+        mmk = mesh0 * mesh1.conj()
+
+    box_size = mesh_shape if box_size is None else np.asarray(box_size)
+    kedges, kmesh, mumesh, rfftw = _waves(tuple(mesh_shape), box_size, kedges,
+                                          include_corners, los)
+    n_bins = len(kedges) + 1
+    dig = np.digitize(np.asarray(kmesh).reshape(-1), kedges)
+
+    kcount = np.bincount(dig, weights=rfftw.reshape(-1), minlength=n_bins)[1:-1]
+    kmean = np.bincount(dig, weights=np.asarray(kmesh * rfftw).reshape(-1),
+                        minlength=n_bins)[1:-1] / kcount
+
+    pows = {}
+    for ell in np.atleast_1d(ells):
+        leg = legendre(int(ell))(np.asarray(mumesh))
+        weights = (mmk * ((2 * ell + 1) * leg * rfftw)).reshape(-1)
+        if mesh1 is None:
+            pmean = jnp.bincount(dig, weights=weights, length=n_bins)[1:-1]
+        else:
+            # complex bincount is slow: reduce real and imag separately
+            pre = jnp.bincount(dig, weights=weights.real, length=n_bins)[1:-1]
+            pim = jnp.bincount(dig, weights=weights.imag, length=n_bins)[1:-1]
+            pmean = (pre**2 + pim**2) ** 0.5
+        pmean *= np.prod(box_size / mesh_shape**2) / kcount  # cell -> (Mpc/h)^3
+        pows[int(ell)] = pmean
+
+    if isinstance(ells, int):
+        return kcount, kmean, pows[ells]
+    return kcount, kmean, pows
+
+
+def spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
+             ells=0, kedges=None, include_corners=True):
+    """Multipole auto/cross power spectrum: (k_mean, P_ell)."""
+    _, kmean, pows = _spectrum(mesh0, mesh1, box_size, box_center, ells,
+                               kedges, include_corners)
+    return kmean, pows
+
+
+def transfer(mesh0, mesh1, box_size, kedges=None, include_corners=True):
+    """(P1/P0)^1/2 per k-bin."""
+    pow_fn = partial(spectrum, box_size=box_size, kedges=kedges,
+                     include_corners=include_corners)
+    ks, pow0 = pow_fn(mesh0)
+    ks, pow1 = pow_fn(mesh1)
+    return ks, (pow1 / pow0) ** 0.5
+
+
+def coherence(mesh0, mesh1, box_size, kedges=None, include_corners=True):
+    """P01 / (P0 P1)^1/2 per k-bin."""
+    pow_fn = partial(spectrum, box_size=box_size, kedges=kedges,
+                     include_corners=include_corners)
+    ks, pow01 = pow_fn(mesh0, mesh1)
+    ks, pow0 = pow_fn(mesh0)
+    ks, pow1 = pow_fn(mesh1)
+    return ks, pow01 / (pow0 * pow1) ** 0.5
+
+
+def powtranscoh(mesh0, mesh1, box_size, kedges=None, include_corners=True):
+    """(k, P1, transfer, coherence) of mesh1 against reference mesh0."""
+    pow_fn = partial(spectrum, box_size=box_size, kedges=kedges,
+                     include_corners=include_corners)
+    ks, pow01 = pow_fn(mesh0, mesh1)
+    ks, pow0 = pow_fn(mesh0)
+    ks, pow1 = pow_fn(mesh1)
+    return ks, pow1, (pow1 / pow0) ** 0.5, pow01 / (pow0 * pow1) ** 0.5
+
+
+# ----------------------------------------------------------------------- value binning
+def bin_and_aggregate(targets, values, vedges, min_count=1, aggr_fn=None):
+    """Bin `targets` by `values` and aggregate per bin (mean by default).
+
+    If min_count is None, vedges is interpreted in quantile space.
+    Returns (counts, value means, aggregated targets).
+    """
+    targets = np.asarray(targets).reshape(-1)
+    values = np.asarray(values).reshape(-1)
+    assert len(targets) == len(values), "targets and values must have same length."
+
+    if isinstance(vedges, (int, float)):
+        vmin, vmax = (0.0, 1.0) if min_count is None else (values.min(), values.max())
+        if isinstance(vedges, int):
+            n_vedges = vedges
+        else:
+            n_vedges = max(int((vmax - vmin) / vedges), 1)
+        dv = (vmax - vmin) / n_vedges
+        vedges = np.linspace(vmin, vmax, n_vedges, endpoint=False) + dv / 2
+
+    if min_count is None:
+        vedges = np.quantile(values, q=vedges)
+        min_count = 1
+
+    n_bins = len(vedges) + 1
+    dig = np.digitize(values, vedges)
+    vcount = np.bincount(dig, minlength=n_bins)[1:-1]
+    keep = vcount >= min_count
+    vcount = vcount[keep]
+    vmean = np.bincount(dig, weights=values, minlength=n_bins)[1:-1][keep] / vcount
+
+    if aggr_fn is None:
+        taggr = np.bincount(dig, weights=targets, minlength=n_bins)[1:-1][keep] / vcount
+    else:
+        taggr = np.array([aggr_fn(targets[dig == i]) for i in range(1, n_bins - 1)])[keep]
+    return vcount, vmean, taggr
+
+
+def mse_radius(mesh0, mesh1, rmesh, cell_length, redges=None, aggr_fn=None):
+    """MSE between meshes binned by radius, in (Mpc/h)^3."""
+    if redges is None:
+        redges = 3**0.5 * cell_length  # minimum dr for connected shells
+    se = (np.asarray(mesh0) - np.asarray(mesh1)) ** 2 * cell_length**3
+    return bin_and_aggregate(se, rmesh, redges, aggr_fn=aggr_fn)
+
+
+def mse_value(mesh0, mesh1, cell_length, vedges, min_count=None, aggr_fn=None):
+    """MSE between meshes binned by the value of mesh0, in (Mpc/h)^3."""
+    se = (np.asarray(mesh0) - np.asarray(mesh1)) ** 2 * cell_length**3
+    return bin_and_aggregate(se, mesh0, vedges, min_count=min_count, aggr_fn=aggr_fn)
+
+
+def mse_wave(mesh0, mesh1, box_size, kedges=None, include_corners=True):
+    """MSE between meshes binned by wavenumber (power of the difference)."""
+    return _spectrum(mesh1 - mesh0, box_size=box_size, kedges=kedges,
+                     include_corners=include_corners)
+
+
+def distr_radial(mesh, rmesh, cell_length, redges=None, aggr_fn=None):
+    """Radial distribution of a mesh in (h/Mpc)^3."""
+    if redges is None:
+        redges = 3**0.5 * cell_length
+    rcount, rmean, maggr = bin_and_aggregate(mesh, rmesh, redges, aggr_fn=aggr_fn)
+    return rcount, rmean, maggr / cell_length**3
+
+
+# ----------------------------------------------------------------------- error bars
+def mean_errorbar(count, std, confidence=0.95, gaussian_approx=False):
+    """(lo, hi) error bar on a sample mean (Student-t unless approximated)."""
+    from scipy.stats import norm, t
+    if not gaussian_approx:
+        df = count - 1
+        lo, hi = t(df=df).interval(confidence)
+        return jnp.stack((-std / df**0.5 * lo, std / df**0.5 * hi))
+    hi = norm.interval(confidence)[1] * std / count**0.5
+    return jnp.stack((hi, hi))
+
+
+def var_errorbar(count, var, confidence=0.95, gaussian_approx=False):
+    """(lo, hi) error bar on a sample variance (chi^2 unless approximated)."""
+    from scipy.stats import chi2, norm
+    if not gaussian_approx:
+        lo, hi = chi2(df=count).interval(confidence)
+        lo, hi = var * count / hi, var * count / lo
+        return jnp.stack((var - lo, hi - var))
+    hi = var * (2 / count) ** 0.5 * norm.interval(confidence)[1]
+    return jnp.stack((hi, hi))
+
+
+# ----------------------------------------------------------------------- Kaiser multipoles
+def kaiser_formula(bg, a, lin_kpow, b1E, ells=0):
+    """Analytic Kaiser multipoles P_ell(k) for Eulerian bias b1E."""
+    ells = jnp.atleast_1d(ells)
+    beta = bg.a2f(a) / b1E
+    k, pows = lin_kpow
+    pows = pows * bg.a2g(a) ** 2
+
+    weights = np.ones(len(ells)) * b1E**2
+    for i, ell in enumerate(ells):
+        if ell == 0:
+            weights[i] *= 1 + beta * 2 / 3 + beta**2 / 5
+        elif ell == 2:
+            weights[i] *= beta * 4 / 3 + beta**2 * 4 / 7
+        elif ell == 4:
+            weights[i] *= beta**2 * 8 / 35
+        else:
+            raise NotImplementedError(f"ell={ell} not in (0, 2, 4)")
+    return k, jnp.moveaxis(pows[..., None] * weights, -1, -2)
+
+
+# ----------------------------------------------------------------------- curved-sky mu^2
+def real_sph_harm(l, m, theta, phi):
+    """Real spherical harmonics Y(l, m) at colatitude theta, longitude phi."""
+    m_abs = abs(m)
+    norm = ((2 * l + 1) / (4 * np.pi) * factorial(l - m_abs) / factorial(l + m_abs)) ** 0.5
+    asso = lpmv(m_abs, l, np.cos(theta))
+    if m > 0:
+        return 2**0.5 * norm * asso * np.cos(m * phi)
+    if m < 0:
+        return 2**0.5 * norm * asso * np.sin(m_abs * phi)
+    return norm * asso
+
+
+def naive_mu2_delta(mesh, los):
+    """(k.los/|k|)^2-weighted field by two sequential mu-projections (8 FFTs)."""
+    mesh_shape = ch2rshape(mesh.shape)
+    kvec = rfftk(mesh_shape)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+
+    mu_delta = jnp.stack(
+        [jnp.fft.irfftn(safe_div(kvec[i] * mesh, kmesh)) for i in range(3)], -1)
+    mu_delta = jnp.fft.rfftn((mu_delta * los).sum(-1))
+    mu2_delta = jnp.stack(
+        [jnp.fft.irfftn(safe_div(kvec[i] * mu_delta, kmesh)) for i in range(3)], -1)
+    return (mu2_delta * los).sum(-1)
+
+
+def optim_mu2_delta(mesh, los):
+    """mu^2-weighted field via the Y_2m decomposition of mu^2 (6 FFTs):
+    mu^2 = 1/3 + 8pi/15 sum_m Y_2m(k-hat) Y_2m(r-hat)  (cf. Hand+2017).
+
+    Returns (delta, mu2_delta) in real space.
+    """
+    from montecosmo_tpu.utils.geometry import cart2radecrad
+
+    mesh_shape = ch2rshape(mesh.shape)
+    kvec = rfftk(mesh_shape)
+
+    ra, dec, _ = cart2radecrad(np.asarray(los))
+    phi = np.deg2rad(np.asarray(ra)).reshape(-1)
+    theta = np.deg2rad(90.0 - np.asarray(dec)).reshape(-1)
+
+    kra, kdec, _ = cart2radecrad(np.stack(np.broadcast_arrays(*kvec), -1))
+    kphi = np.deg2rad(np.asarray(kra)).reshape(-1)
+    ktheta = np.deg2rad(90.0 - np.asarray(kdec)).reshape(-1)
+
+    delta = jnp.fft.irfftn(mesh)
+    mu2_delta = delta / 3
+    for m in range(-2, 3):
+        ylos = real_sph_harm(2, m, theta, phi).reshape(mesh_shape)
+        yk = real_sph_harm(2, m, ktheta, kphi).reshape(mesh.shape)
+        mu2_delta += 8 * np.pi / 15 * ylos * jnp.fft.irfftn(yk * mesh)
+    return delta, mu2_delta
+
+
+# ----------------------------------------------------------------------- window convolution
+def wigner3j_square(ellout, ellin, prefactor=True):
+    """Legendre-product coefficients C_{l l' L} for window convolution
+    (Wilson et al. 2015 / Al-Salam 1953)."""
+    qvals, coeffs = [], []
+
+    def G(p):
+        num = 1
+        for q in range(1, p + 1):
+            num *= 2 * q - 1
+        return num, math.factorial(p)
+
+    for p in range(min(ellin, ellout) + 1):
+        numer, denom = [], []
+        for r in (G(ellout - p), G(p), G(ellin - p)):
+            numer.append(r[0])
+            denom.append(r[1])
+        a, b = G(ellin + ellout - p)
+        numer.append(b)
+        denom.append(a)
+        numer.append(2 * (ellin + ellout) - 4 * p + 1)
+        denom.append(2 * (ellin + ellout) - 2 * p + 1)
+        q = ellin + ellout - 2 * p
+        if prefactor:
+            numer.append(2 * ellout + 1)
+            denom.append(2 * q + 1)
+        coeffs.append(np.prod(numer, dtype="f8") / np.prod(denom, dtype="f8"))
+        qvals.append(q)
+    return qvals[::-1], coeffs[::-1]
+
+
+# ----------------------------------------------------------------------- chain diagnostics
+def effective_sample_size(x):
+    """ESS per parameter from (n_chains, n_samples, ...) draws, via the
+    initial-monotone-positive-sequence autocorrelation estimator (Geyer 1992,
+    as in Vehtari+2021)."""
+    x = jnp.asarray(x)
+    n_chains, n_samples = x.shape[:2]
+
+    # FFT autocovariance per chain
+    mean = x.mean(1, keepdims=True)
+    xc = x - mean
+    n_fft = int(2 ** np.ceil(np.log2(2 * n_samples)))
+    f = jnp.fft.rfft(xc, n=n_fft, axis=1)
+    acov = jnp.fft.irfft(f * f.conj(), n=n_fft, axis=1)[:, :n_samples].real
+    acov = acov / n_samples
+
+    within = acov[:, 0].mean(0)  # W (biased variance mean)
+    var_plus = within * (n_samples - 1) / n_samples
+    if n_chains > 1:
+        var_plus = var_plus + x.mean(1).var(0, ddof=1)
+
+    rho = 1.0 - (within - acov.mean(0)) / var_plus  # (n_samples, ...)
+    rho = rho.at[0].set(1.0)
+
+    # paired sums; stop at first negative pair (monotone-positive sequence)
+    n_pairs = n_samples // 2
+    paired = rho[: 2 * n_pairs].reshape(n_pairs, 2, *rho.shape[1:]).sum(1)
+    mask = jnp.cumprod(paired > 0, axis=0)
+    paired = jnp.minimum(paired, jnp.concatenate(
+        [paired[:1], jnp.minimum.accumulate(paired, axis=0)[:-1]], axis=0))
+    tau = -1.0 + 2.0 * (paired * mask).sum(0)
+    return n_chains * n_samples / jnp.maximum(tau, 1e-8)
+
+
+def gelman_rubin(x):
+    """Split-free potential scale reduction factor from
+    (n_chains, n_samples, ...) draws."""
+    x = jnp.asarray(x)
+    n_chains, n_samples = x.shape[:2]
+    chain_means = x.mean(1)
+    chain_vars = x.var(1, ddof=1)
+    W = chain_vars.mean(0)
+    B = n_samples * chain_means.var(0, ddof=1)
+    var_plus = (n_samples - 1) / n_samples * W + B / n_samples
+    return jnp.sqrt(var_plus / W)
+
+
+def geomean(x, axis=None):
+    return jnp.exp(jnp.mean(jnp.log(x), axis=axis))
+
+
+def harmean(x, axis=None):
+    return 1 / jnp.mean(1 / x, axis=axis)
+
+
+def multi_ess(x, axis=None):
+    """Harmonic-mean ESS across parameters."""
+    return harmean(effective_sample_size(x), axis=axis)
+
+
+def multi_gr(x, axis=None):
+    """Multivariate Gelman-Rubin ~ (1 + n_c/mESS)^1/2 (arXiv:1812.09384)."""
+    return jnp.mean(gelman_rubin(x) ** 2, axis=axis) ** 0.5

@@ -1,0 +1,187 @@
+"""Wavevector factories, Fourier filter kernels, and mass-assignment windows.
+
+All kernel factories return *numpy* broadcast-shaped arrays ((N,1,1), (1,N,1),
+(1,1,N/2+1)); XLA constant-folds them into the surrounding FFT pipelines, so a
+Poisson solve + gradient is a single fused elementwise pass over the rfft mesh
+on TPU (VPU-bound, no materialized N^3 kernel tensors).
+
+Parity: reference `montecosmo/nbody.py:50-363` (rfftk/fftk, invlaplace/gradient/
+gaussian/top-hat kernels, B-spline & Kaiser-Bessel windows, deconv_paint).
+"""
+import numpy as np
+from jax import numpy as jnp
+
+from montecosmo_tpu.utils.safe import safe_div
+
+
+# --------------------------------------------------------------------- wavevectors
+def rfftk(shape, box_size=None, dtype=np.float32):
+    """Broadcast-shaped wavevectors for `rfftn`.
+
+    In cell units (k in [-pi, pi[) by default; in physical units (h/Mpc) when
+    `box_size` is given.
+
+    Returns a tuple of arrays with shapes (N0,1,..), (1,N1,..), .., (..,Nd/2+1)
+    so `sum(ki**2 for ki in kvec)` broadcasts to the full rfft mesh lazily.
+    """
+    dim = len(shape)
+    scales = dim * (2 * np.pi,) if box_size is None else tuple(
+        2 * np.pi * s / b for s, b in zip(shape, box_size))
+
+    kvec = ()
+    for ax, (s, sc) in enumerate(zip(shape, scales)):
+        freq = np.fft.rfftfreq(s) if ax == dim - 1 else np.fft.fftfreq(s)
+        bshape = [1] * dim
+        bshape[ax] = -1
+        kvec += ((freq * sc).astype(dtype).reshape(bshape),)
+    return kvec
+
+
+def fftk(shape, box_size=None, dtype=np.float32):
+    """Broadcast-shaped wavevectors for full `fftn` (rarely needed)."""
+    dim = len(shape)
+    scales = dim * (2 * np.pi,) if box_size is None else tuple(
+        2 * np.pi * s / b for s, b in zip(shape, box_size))
+
+    kvec = ()
+    for ax, (s, sc) in enumerate(zip(shape, scales)):
+        bshape = [1] * dim
+        bshape[ax] = -1
+        kvec += ((np.fft.fftfreq(s) * sc).astype(dtype).reshape(bshape),)
+    return kvec
+
+
+# --------------------------------------------------------------------- filter kernels
+def invlaplace_hat(kvec, fd_order=np.inf):
+    """Fourier transform of the inverse Laplacian, -1/k^2 (or its finite
+    difference counterpart for fd_order 2/4).  Zero mode maps to zero."""
+    if fd_order == 2:
+        kk = sum(2 * (np.cos(ki) - 1) for ki in kvec)
+    elif fd_order == 4:
+        kk = sum((np.cos(2 * ki) - 16 * np.cos(ki) + 15) / 6 for ki in kvec)
+    elif fd_order == np.inf:
+        kk = sum(ki**2 for ki in kvec)
+    else:
+        raise ValueError("fd_order must be 2, 4, or inf.")
+    return -safe_div(1.0, kk)
+
+
+def gradient_hat(kvec, direction: int, fd_order=np.inf):
+    """Fourier transform of the spatial gradient along `direction`: i*k (or its
+    finite-difference counterpart for fd_order 2/4)."""
+    ki = kvec[direction]
+    if fd_order == 2:
+        ki = np.sin(ki)
+    elif fd_order == 4:
+        ki = (8 * np.sin(ki) - np.sin(2 * ki)) / 6
+    elif fd_order != np.inf:
+        raise ValueError("fd_order must be 2, 4, or inf.")
+    return 1j * ki
+
+
+def gaussian_hat(kvec, kcut=np.inf):
+    """Gaussian low-pass filter with cutoff wavenumber `kcut`."""
+    if kcut == np.inf:
+        return 1.0
+    kk = sum(ki**2 for ki in kvec)
+    rcut = 2 * np.pi / kcut
+    return np.exp(-kk * rcut**2 / 2)
+
+
+def top_hat(kvec, kcut=np.inf):
+    """Isotropic boolean top-hat |k| < kcut.
+
+    Boolean on purpose: `jnp.where(top_hat(...), mesh, 0)` fuses into a select
+    rather than a multiply, and the mask doubles as the sampled-mode cut mask.
+    """
+    if kcut == np.inf:
+        return True
+    kk = sum(ki**2 for ki in kvec)
+    return kk < kcut**2
+
+
+# --------------------------------------------------------------------- MAS windows
+def bspline(s, order: int):
+    """Real-space B-spline mass-assignment window of given order.
+
+    order 0: Dirac, 1: NGP, 2: CIC, 3: TSC, 4: PCS
+    (Sefusatti+2017 arXiv:1512.07295; List&Hahn 2024 arXiv:2309.10865).
+    `s` is the (signed) distance to the cell center in cell units.
+    """
+    s = jnp.abs(s)
+    if order == 0:
+        return jnp.full(jnp.shape(s)[-1:], jnp.inf)
+    if order == 1:
+        return jnp.full(jnp.shape(s)[-1:], 1.0)
+    if order == 2:
+        return 1 - s
+    if order == 3:
+        return jnp.where(s <= 0.5, 0.75 - s**2, 0.5 * jnp.maximum(1.5 - s, 0.0)**2)
+    if order == 4:
+        return jnp.where(s <= 1.0,
+                         (4 - 6 * s**2 + 3 * s**3) / 6,
+                         jnp.maximum(2.0 - s, 0.0)**3 / 6)
+    raise ValueError("B-spline order must be in 0..4.")
+
+
+def bspline_hat(kvec, order: int = 2):
+    """Fourier transform of the order-n B-spline window: prod_i sinc(k_i/2pi)^n."""
+    out = 1.0
+    for ki in kvec:
+        out = out * np.sinc(ki / (2 * np.pi))**order
+    return out
+
+
+def optim_kcut(oversamp, safety=0.98):
+    """Near-optimal k-cutoff for PSWF-like (Kaiser-Bessel) kernels at a given
+    oversampling factor (Barnett+2019 arXiv:1808.06736)."""
+    return safety * jnp.pi * (2 - 1 / oversamp)
+
+
+def kaiser_bessel(s, order, kcut):
+    """Kaiser-Bessel window of support `order` cells (Barnett+2019)."""
+    s = s * 2 / order
+    beta = kcut * order / 2
+    out = jnp.i0(beta * jnp.sqrt(jnp.maximum(1 - s**2, 0.0)))
+    return out / (order * jnp.sinh(beta) / beta)
+
+
+def kaiser_bessel_hat(kvec, order, kcut):
+    """Fourier transform of the Kaiser-Bessel window (Barnett+2019)."""
+    def kernel(k, kcut):
+        k = k * order / 2
+        beta = kcut * order / 2
+        dist = jnp.abs(beta**2 - k**2)**0.5
+        bulk = jnp.sinh(dist) / dist
+        tail = jnp.sin(dist) / dist
+        out = jnp.where(jnp.abs(k) <= beta, bulk, tail)
+        return out / (jnp.sinh(beta) / beta)
+
+    out = 1.0
+    for ki in kvec:
+        out = out * kernel(ki, kcut)
+    return out
+
+
+def window_hat(kvec, order: int, kernel_type="rectangular", oversamp=1.0):
+    """Fourier transform of the selected paint window."""
+    if kernel_type == "rectangular":
+        return bspline_hat(kvec, order)
+    if kernel_type == "kaiser_bessel":
+        return kaiser_bessel_hat(kvec, order, optim_kcut(oversamp))
+    raise ValueError(f"Unknown kernel type: {kernel_type}")
+
+
+def deconv_paint(mesh, order: int = 2, kernel_type="rectangular", oversamp=1.0):
+    """Deconvolve a painted mesh by its paint window.
+
+    Accepts a real mesh (adds an rfftn/irfftn pair) or an rfft mesh (single
+    fused elementwise divide).
+    """
+    from montecosmo_tpu.ops.hermitian import ch2rshape
+
+    if jnp.isrealobj(mesh):
+        kvec = rfftk(mesh.shape)
+        return jnp.fft.irfftn(jnp.fft.rfftn(mesh) / window_hat(kvec, order, kernel_type, oversamp))
+    kvec = rfftk(ch2rshape(mesh.shape))
+    return mesh / window_hat(kvec, order, kernel_type, oversamp)

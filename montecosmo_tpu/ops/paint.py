@@ -1,0 +1,155 @@
+"""Mass assignment: scatter (paint) / gather (read), interlacing, and NUFFT.
+
+TPU-native formulation: the order^d stencil is a `lax.scan` whose body does ONE
+flat 1-D scatter-add (or gather) over all particles — per-axis indices are
+combined into a single flat int32 index so XLA emits its fastest scatter
+variant, and the loop over stencil shifts is compiled once.  Positions are in
+cell units with periodic wrap-around; windows are the exact order-0..4
+B-splines or Kaiser-Bessel of the reference.
+
+`read` is the adjoint of `paint` with respect to the weights (same window,
+same wrap), which reverse-mode AD recovers automatically: grad of a painted
+mesh w.r.t. weights is a read, and vice versa.
+
+A Pallas sorted-tile kernel for the same contract lives in
+`montecosmo_tpu.ops.paint_pallas` (used when enabled; this module is the
+portable XLA reference path).
+
+Parity: reference `montecosmo/nbody.py:365-577` (paint/read/interlace/nufft).
+"""
+from functools import partial
+from itertools import product
+
+import numpy as np
+from jax import lax, numpy as jnp
+
+from montecosmo_tpu.ops.fourier import (
+    bspline, kaiser_bessel, optim_kcut, rfftk, window_hat,
+)
+from montecosmo_tpu.ops.hermitian import chreshape, r2chshape, scale_shape
+
+
+def _window_fn(order, kernel_type, oversamp):
+    if kernel_type == "rectangular":
+        return lambda s: bspline(s, order)
+    if kernel_type == "kaiser_bessel":
+        return lambda s: kaiser_bessel(s, order, optim_kcut(oversamp))
+    raise ValueError(f"Unknown kernel type: {kernel_type}")
+
+
+def _stencil(shape, order):
+    """(order^d, d) integer stencil offsets around the base cell."""
+    shifts = np.arange(order) - (order - 1) // 2
+    return np.asarray(list(product(*len(shape) * (shifts,))), dtype=np.int32)
+
+
+def _flat_wrapped(idx, shape):
+    """Combine per-axis indices into a flat index with periodic wrap."""
+    strides = np.asarray(
+        [int(np.prod(shape[ax + 1:])) for ax in range(len(shape))], dtype=np.int32)
+    idx = idx % np.asarray(shape, dtype=np.int32)
+    return (idx * strides).sum(-1)
+
+
+def paint(pos, shape: tuple, weights=1.0, order: int = 2,
+          kernel_type="rectangular", oversamp=1.0):
+    """Scatter particle `weights` onto a mesh of `shape`.
+
+    pos : (..., d) positions in cell units (periodically wrapped).
+    Returns a real mesh of `shape`.
+    """
+    shape = tuple(int(s) for s in shape)
+    kernel = _window_fn(order, kernel_type, oversamp)
+    round_fn = jnp.round if order % 2 else jnp.floor
+    id0 = round_fn(pos).astype(jnp.int32)
+    shifts = _stencil(shape, order)
+
+    n = int(np.prod(shape))
+    weights = jnp.broadcast_to(jnp.asarray(weights, pos.dtype), pos.shape[:-1])
+
+    def step(carry, shift):
+        idx = id0 + shift
+        ker = kernel(idx - pos).prod(-1)
+        carry = carry.at[_flat_wrapped(idx, shape).reshape(-1)].add(
+            (weights * ker).reshape(-1))
+        return carry, None
+
+    mesh = lax.scan(step, jnp.zeros(n, dtype=pos.dtype), shifts)[0]
+    return mesh.reshape(shape)
+
+
+def read(pos, mesh, order: int = 2, kernel_type="rectangular", oversamp=1.0):
+    """Gather mesh values at particle positions (adjoint of `paint`)."""
+    shape = tuple(int(s) for s in mesh.shape)
+    kernel = _window_fn(order, kernel_type, oversamp)
+    round_fn = jnp.round if order % 2 else jnp.floor
+    id0 = round_fn(pos).astype(jnp.int32)
+    shifts = _stencil(shape, order)
+    flat = mesh.reshape(-1)
+
+    def step(carry, shift):
+        idx = id0 + shift
+        ker = kernel(idx - pos).prod(-1)
+        return carry + flat[_flat_wrapped(idx, shape)] * ker, None
+
+    out = lax.scan(step, jnp.zeros(pos.shape[:-1], dtype=mesh.dtype), shifts)[0]
+    return out
+
+
+def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
+              interlace_order: int = 2, kernel_type="rectangular",
+              paint_oversamp: float = 1.0):
+    """Equal-spacing interlaced painting in Fourier space.
+
+    Paints `interlace_order` diagonally shifted clouds and accumulates their
+    phase-rotated rffts, cancelling the leading aliasing images
+    (Wang&Yu 2024 arXiv:2403.13561).  interlace_order >= 3 is not isotropic.
+    """
+    kvec = rfftk(shape)
+    ksum = sum(kvec)
+    shifts = jnp.arange(interlace_order) / interlace_order
+
+    def step(carry, shift):
+        mesh = paint(pos + shift, shape, weights, paint_order,
+                     kernel_type=kernel_type, oversamp=paint_oversamp)
+        carry += jnp.fft.rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
+        return carry, None
+
+    out = jnp.zeros(r2chshape(shape), dtype=jnp.result_type(pos.dtype, complex))
+    return lax.scan(step, out, shifts)[0]
+
+
+def nufft(pos, final_shape: tuple, paint_shape=None, weights=1.0,
+          paint_order: int = 2, interlace_order: int = 2,
+          kernel_type="rectangular", paint_deconv=True):
+    """Non-uniform FFT: oversampled paint + interlace + window deconvolution +
+    power-preserving Fourier downsample to `final_shape`.
+
+    pos is in final-shape cell units; the units jacobian is applied so the
+    irfftn of the result sums to the total particle weight.
+
+    paint_shape : None (= final_shape), float oversampling factor, or shape.
+    Returns the rfft mesh at `r2chshape(final_shape)`.
+    """
+    if paint_shape is None:
+        paint_shape, paint_oversamp = final_shape, 1.0
+    elif isinstance(paint_shape, float):
+        paint_oversamp = paint_shape
+        paint_shape = scale_shape(final_shape, paint_oversamp)
+    elif isinstance(paint_shape, (tuple, list, np.ndarray)):
+        paint_oversamp = float(np.exp(np.log(np.divide(final_shape, paint_shape)).mean()))
+    else:
+        raise ValueError("paint_shape must be None, a float, or a shape")
+
+    ratio = np.divide(paint_shape, final_shape)
+    pos = pos * ratio.astype(pos.dtype)  # final units -> paint units (no mutation)
+    mesh = interlace(pos, tuple(paint_shape), weights, paint_order, interlace_order,
+                     kernel_type=kernel_type, paint_oversamp=paint_oversamp)
+    mesh *= ratio.prod()  # units jacobian: conserve total counts
+
+    if paint_deconv:
+        kvec = rfftk(tuple(paint_shape))
+        mesh /= window_hat(kvec, paint_order, kernel_type, paint_oversamp)
+    if tuple(final_shape) != tuple(paint_shape):
+        mesh = chreshape(mesh, r2chshape(final_shape))
+    return mesh

@@ -1,0 +1,27 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+TPU sharding is validated without a pod by forcing the host platform and
+splitting it into 8 XLA devices, as the driver's `dryrun_multichip` does.
+Must run before jax is imported anywhere.
+"""
+import os
+
+# Force CPU even if the ambient environment points at a TPU backend: tests
+# validate numerics and sharding, the benchmark runs on the real chip.
+# The env var alone is not enough (the TPU plugin overrides it), so also set
+# the config flag before any backend initializes.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("MONTECOSMO_TEST_PLATFORM", "cpu"))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
