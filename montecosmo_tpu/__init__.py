@@ -25,3 +25,5 @@ utils     : IO (HDF5/YAML/pickle), tree helpers, numerics helpers.
 """
 
 __version__ = "0.1.0"
+
+from montecosmo_tpu.models.model import FieldLevelModel, Model, default_config

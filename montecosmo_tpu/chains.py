@@ -1,0 +1,447 @@
+"""Samples / Chains containers: pytree dicts with group-aware querying,
+run loading, thinning, moments, and diagnostics.
+
+Query language (parity: reference `montecosmo/chains.py:25-257`):
+  s['name']            -> value
+  s['group']           -> tuple of the group's values
+  s['*']               -> everything
+  s['*~group']         -> everything except a group/name
+  s['a', '~b']         -> tuple queries with removals
+  s[['a', 'b']]        -> new container restricted to keys
+  s[1:3], s[idx]       -> global indexing over every leaf
+
+`Chains` adds labels, HDF5 persistence, sequential run loading with a jitted
+transform pipeline, thin/flatten/ravel, moment & ESS metrics ('n_evals' is
+summed, never averaged), and native corner/trace plotting hooks (plot.py).
+"""
+import os
+from collections import UserDict
+from dataclasses import dataclass, fields
+from itertools import product
+from pathlib import Path
+
+import numpy as np
+from jax import flatten_util, numpy as jnp, random as jr, tree_util
+
+from montecosmo_tpu.metrics import multi_ess, multi_gr
+from montecosmo_tpu.utils.io import h5load, h5save
+from montecosmo_tpu.utils.safe import nvmap
+
+import jax
+
+
+@tree_util.register_pytree_node_class
+@dataclass
+class Samples(UserDict):
+    """Dict of arrays with group querying and global indexing."""
+
+    data: dict
+    groups: dict = None  # group name -> list of keys
+
+    NoneOrEmpty = object()  # sentinel: missing keys -> None / dropped from subdicts
+
+    def __post_init__(self):
+        if isinstance(self.data, Samples):
+            other = self.data.asdict()
+            self.data = self.data.data
+        else:
+            other = {}
+        for field in fields(self):
+            mine = getattr(self, field.name)
+            mine = {} if mine is None else mine.copy()
+            setattr(self, field.name, {**other.get(field.name, {}), **mine})
+
+    # ------------------------------------------------------------------ querying
+    def __getitem__(self, key, default_fn=None):
+        if self._istreeof(key, (int, slice, type(Ellipsis), np.ndarray, jnp.ndarray)):
+            return jax.tree.map(lambda x: x[key], self)
+
+        if self._istreeof(key, str):
+            if isinstance(key, str):
+                parsed = self._parse_key([key])
+                if len(parsed) == 1:
+                    return self._get(parsed[0], default_fn)
+                return tuple(self._get(k, default_fn) for k in parsed)
+            if isinstance(key, list):
+                if default_fn is self.NoneOrEmpty:
+                    data = {k: self.data[k] for k in self._parse_key(key) if k in self.data}
+                else:
+                    data = {k: self._get(k, default_fn) for k in self._parse_key(key)}
+                return type(self)(**{**self.asdict(), "data": data})
+            if isinstance(key, tuple):
+                parsed = self._parse_key(key)
+                if len(parsed) == 1:
+                    return self.__getitem__(parsed[0], default_fn)
+                return tuple(self.__getitem__(k, default_fn) for k in parsed)
+        raise KeyError(key)
+
+    def _parse_key(self, key):
+        out = []
+        for k in key:
+            if isinstance(k, list):
+                out.append(k)
+            elif isinstance(k, str):
+                if k.startswith("*~"):  # everything except
+                    k = k[2:]
+                    g = [k] if k in self.data else (
+                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
+                    out += [kk for kk in self.data.keys() if kk not in set(g)]
+                elif k.startswith("~"):  # remove from the running selection
+                    k = k[1:]
+                    g = [k] if k in self.data else (
+                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
+                    for kk in g:
+                        if kk in out:
+                            out.remove(kk)
+                else:
+                    g = [k] if k in self.data else (
+                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
+                    out += list(g)
+            else:
+                raise KeyError(k)
+        return out
+
+    @staticmethod
+    def _istreeof(obj, types):
+        return jax.tree.all(jax.tree.map(lambda x: isinstance(x, types), obj))
+
+    def _get(self, key, default_fn=None):
+        if key in self.data:
+            return self.data[key]
+        if default_fn is None:
+            raise KeyError(key)
+        if default_fn is self.NoneOrEmpty:
+            return None
+        return default_fn(key)
+
+    def get(self, key, default_fn=NoneOrEmpty):
+        return self.__getitem__(key, default_fn)
+
+    # ------------------------------------------------------------------ utils
+    def asdict(self):
+        return {f.name: getattr(self, f.name).copy() for f in fields(self)}
+
+    def __copy__(self):
+        return type(self)(**self.asdict())
+
+    def copy(self):
+        return self.__copy__()
+
+    def tree_flatten(self):
+        return (self.data,), (self.groups,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, data):
+        return cls(*data, *aux)
+
+    # ------------------------------------------------------------------ properties
+    @property
+    def shape(self):
+        return jax.tree.map(jnp.shape, self.data)
+
+    @property
+    def ndim(self):
+        return jax.tree.map(jnp.ndim, self.data)
+
+    @property
+    def dtype(self):
+        return jax.tree.map(jnp.dtype, self.data)
+
+    @property
+    def size(self):
+        return jax.tree.map(jnp.size, self.data)
+
+    # ------------------------------------------------------------------ operations
+    def __or__(self, other):
+        new = self.asdict()
+        if isinstance(other, Samples):
+            for k, v in other.asdict().items():
+                new[k] = {**new.get(k, {}), **v}
+        elif isinstance(other, (dict, UserDict)):
+            other = other.data if isinstance(other, UserDict) else other
+            new["data"] = {**new["data"], **other}
+        else:
+            return NotImplemented
+        return type(self)(**new)
+
+    def __ror__(self, other):
+        new = self.asdict()
+        if isinstance(other, (dict, UserDict)):
+            other = other.data if isinstance(other, UserDict) else other
+            new["data"] = {**other, **new["data"]}
+            return type(self)(**new)
+        return NotImplemented
+
+    def __ior__(self, other):
+        if isinstance(other, Samples):
+            for f in fields(self):
+                setattr(self, f.name,
+                        {**getattr(self, f.name), **getattr(other, f.name, {})})
+            return self
+        return super().__ior__(other)
+
+    # ------------------------------------------------------------------ transforms
+    def prune(self):
+        """Drop group entries whose keys are absent from data."""
+        new = self.copy()
+        new.groups = {g: [k for k in gl if k in new.data] for g, gl in new.groups.items()}
+        return new
+
+    def concat(self, *others, axis=0):
+        return jax.tree.map(lambda x, *y: jnp.concatenate((x, *y), axis=axis),
+                            self, *others)
+
+    def stackby(self, names=None, remove=True, axis=-1):
+        """Stack variables by group, optionally removing the unstacked ones."""
+        if names is None:
+            names = list(self.groups)
+        elif isinstance(names, str):
+            names = [names]
+
+        new = self.copy()
+        for k in names:
+            if k not in self.data:
+                vals = self[k]
+                new.data[k] = vals[0] if len(self.groups[k]) == 1 else jnp.stack(vals, axis=axis)
+                if remove:
+                    for kk in self.groups[k]:
+                        new.data.pop(kk, None)
+        return new
+
+
+@tree_util.register_pytree_node_class
+@dataclass
+class Chains(Samples):
+    """Samples + labels + run persistence + chain metrics."""
+
+    labels: dict = None
+
+    def tree_flatten(self):
+        return (self.data,), (self.groups, self.labels)
+
+    # ------------------------------------------------------------------ persistence
+    def save(self, path):
+        h5save(path, {"data": {k: np.asarray(v) for k, v in self.data.items()},
+                      "groups": self.groups, "labels": self.labels})
+
+    @classmethod
+    def load(cls, path):
+        d = h5load(path)
+        return cls(d["data"], groups=d.get("groups"), labels=d.get("labels"))
+
+    @classmethod
+    def load_runs(cls, path, start: int, end: int, transforms=None, groups=None,
+                  labels=None, batch_ndim=2):
+        """Load and concatenate `run_{i}.h5` files, applying a jitted transform
+        pipeline to each run before concatenation (memory-bounded loading)."""
+        from jax import jit
+
+        path = Path(path)
+        for i_run in range(start, end + 1):
+            if not os.path.exists(path / f"run_{i_run}.h5"):
+                if i_run == start:
+                    raise FileNotFoundError(path / f"run_{i_run}.h5")
+                end = i_run - 1
+                break
+
+        transforms = [] if transforms is None else list(np.atleast_1d(transforms))
+        conc_axis = max(batch_ndim - 1, 0)
+
+        @jit
+        def transform(samples):
+            for trans in transforms:
+                samples = trans(samples)
+            return samples
+
+        samples = None
+        for i_run in range(start, end + 1):
+            part = cls(h5load(path / f"run_{i_run}.h5"), groups=groups, labels=labels)
+            part = transform(part)
+            if batch_ndim == 0:
+                part = jax.tree.map(lambda x: x[None], part)
+            samples = part if samples is None else samples.concat(part, axis=conc_axis)
+        return samples
+
+    # ------------------------------------------------------------------ general transforms
+    def splitrans(self, transform, n, axis=1):
+        """Apply `transform` on n splits along `axis`; stack along a new axis 0."""
+        first = self.data[next(iter(self.data))]
+        assert n <= np.shape(first)[axis], "n must not exceed the axis length."
+        out = jax.tree.map(lambda x: jnp.array_split(x, n, axis), self)
+        out = transform(out)
+        for k in out:
+            out.data[k] = jnp.stack(out.data[k])
+        return out
+
+    def cumtrans(self, transform, n, axis=1):
+        """Apply `transform` on n cumulative prefixes along `axis`."""
+        length = np.shape(self.data[next(iter(self.data))])[axis]
+        ends = np.rint(np.arange(1, n + 1) / n * length).astype(int)
+        acc = {k: [] for k in self.data}
+        for end in ends:
+            sl = axis * (slice(None),) + (slice(None, end),)
+            part = jax.tree.map(lambda x: x[sl], self)
+            part = transform(part)
+            for k in self.data:
+                acc[k].append(part[k])
+        out = self.copy()
+        out.data = {k: jnp.stack(v) for k, v in acc.items()}
+        return out
+
+    def choice(self, n, names=None, seed=42, batch_ndim=2, replace=False):
+        """Random subsample of size n (per batch) of the selected variables."""
+        names = list(self.data) if names is None else list(np.atleast_1d(names))
+        if isinstance(seed, int):
+            seed = jr.key(seed)
+        fn = nvmap(lambda x: jr.choice(seed, x.reshape(-1), shape=(n,), replace=replace),
+                   batch_ndim)
+        new = self.copy()
+        for k in names:
+            new |= jax.tree.map(fn, new.get([k]))
+        return new
+
+    def thin(self, thinning=None, moment=None, axis: int = 1):
+        """Thin along `axis` keeping the last element (or a moment) per block."""
+        length = jnp.shape(next(iter(self.data.values())))[axis]
+        n_split = 1 if thinning is None else max(int(np.rint(length / thinning)), 1)
+        if moment is None:
+            fn = lambda c: Chains.last(c, axis=axis)
+        else:
+            fn = lambda c: Chains.moment(c, m=moment, axis=axis)
+        out = self.splitrans(fn, n_split, axis=axis)
+        return jax.tree.map(lambda x: jnp.moveaxis(x, 0, axis), out)
+
+    def flatten(self, batch_ndim=2):
+        """Flatten non-batch dims into scalar keys 'name[i,j]'; update groups
+        and labels accordingly."""
+        data, labels, substitute = {}, {}, {}
+        for k, v in self.data.items():
+            shape = jnp.shape(v)[batch_ndim:]
+            if len(shape) == 0:
+                data[k] = v
+                if k in self.labels:
+                    labels[k] = self.labels[k]
+            else:
+                substitute[k] = []
+                for ids in product(*map(range, shape)):
+                    sufx = "[{}]".format(",".join(map(str, ids)))
+                    data[k + sufx] = v[batch_ndim * (slice(None),) + ids]
+                    if k in self.labels:
+                        labels[k + sufx] = self.labels[k] + sufx
+                    substitute[k].append(k + sufx)
+
+        groups = {}
+        for g, gl in self.groups.items():
+            groups[g] = []
+            for k in gl:
+                groups[g] += substitute.get(k, [k] if k in data else [])
+        return Chains(data, groups=groups, labels=labels)
+
+    def ravel(self, batch_ndim=2):
+        """Ravel into an array with `batch_ndim` leading dims + unravel fn."""
+        unravel = nvmap(flatten_util.ravel_pytree(
+            jax.tree.map(lambda x: x[(0,) * batch_ndim], self))[1], batch_ndim)
+        raveled = nvmap(lambda x: flatten_util.ravel_pytree(x)[0], batch_ndim)(self)
+        return raveled, unravel
+
+    # ------------------------------------------------------------------ metrics
+    def metric(self, fn, *others, axis=None):
+        """Tree-map but treat 'n_evals' specially: summed along axis, never
+        transformed (evaluation counts accumulate, they don't average)."""
+        name = "n_evals"
+        infos, rest = self.get(([name], ["*~" + name]))
+        infos = jax.tree.map(lambda x: jnp.sum(x, axis), infos)
+        others_new = (other[["*~" + name]] for other in others)
+        return infos | jax.tree.map(fn, rest, *others_new)
+
+    def last(self, axis=1):
+        return self.metric(lambda x: jnp.take(x, -1, axis), axis=axis)
+
+    def moment(self, m=(0, 1, 2), axis=1):
+        if isinstance(m, int):
+            fn = lambda x: jnp.sum(x**m, axis)
+        else:
+            m = jnp.asarray(m)
+            fn = lambda x: jnp.sum(x[..., None] ** m, axis)
+        return self.metric(fn, axis=axis)
+
+    def center_moment(self, axis=-1):
+        def center(moments, ax):
+            moments = jnp.moveaxis(moments, ax, 0)
+            count, mean = moments[0], moments[1] / moments[0]
+            std = (moments[2] / count - mean**2) ** 0.5
+            return jnp.stack((mean, std), ax)
+
+        return self.metric(lambda x: center(x, axis), axis=())
+
+    def cmoment(self, axis=1):
+        return self.metric(lambda x: jnp.stack((x.mean(axis), x.std(axis)), -1),
+                           axis=axis)
+
+    def mse_cmoment(self, true_cmom, axis=None):
+        """Normalized squared errors of chain mean/std vs truth (asymptotically
+        chi^2(1)/n_eff per dim)."""
+        cmom = self.cmoment(axis=1)
+        true_cmom = Chains(true_cmom, self.groups, self.labels)
+
+        def mse_mom(est, true, ax):
+            n_chains = est.shape[0]
+            est = jnp.moveaxis(est, -1, 0)
+            true = jnp.moveaxis(true, -1, 0)
+            sqr_mean = ((est[0] - true[0]) / true[1]) ** 2 / n_chains
+            sqr_std = 2 * ((est[1] - true[1]) / true[1]) ** 2 / n_chains
+            return jnp.stack((sqr_mean.mean(ax), sqr_std.mean(ax)))
+
+        return cmom.metric(lambda x, y: mse_mom(x, y, axis), true_cmom)
+
+    def eval_times_mse(self, truth, axis=None):
+        mse_mom = self.mse_cmoment(truth, axis=axis)
+        name = "n_evals"
+        infos, rest = mse_mom[[name], ["*~" + name]]
+        return infos | jax.tree.map(lambda x: infos[name] * x, rest)
+
+    def multi_ess(self, axis=None):
+        return self.metric(lambda x: multi_ess(x, axis=axis))
+
+    def eval_per_ess(self, axis=None):
+        ess = self.multi_ess(axis=axis)
+        name = "n_evals"
+        infos, rest = ess[[name], ["*~" + name]]
+        return infos | jax.tree.map(lambda x: infos[name] / x, rest)
+
+    # ------------------------------------------------------------------ reporting
+    def to_arrays(self, label=None):
+        """Flattened (samples, names, labels) arrays for corner plotting."""
+        samples, names, labels = [], [], []
+        for k, v in self.data.items():
+            samples.append(np.asarray(v).reshape(-1))
+            names.append(k)
+            labels.append(self.labels.get(k, k))
+        return samples, names, labels
+
+    def print_summary(self, group_by_chain=True):
+        """Posterior summary table: mean, std, 5%/95%, n_eff, r_hat."""
+        from montecosmo_tpu.metrics import effective_sample_size, gelman_rubin
+
+        header = f"{'':>16} {'mean':>9} {'std':>9} {'5.0%':>9} {'95.0%':>9} {'n_eff':>9} {'r_hat':>7}"
+        print(header)
+        for k, v in self.data.items():
+            v = np.asarray(v)
+            if not group_by_chain:
+                v = v[None]
+            if v.ndim > 2:  # flatten event dims for the table
+                v = v.reshape(v.shape[0], v.shape[1], -1).mean(-1)
+            flat = v.reshape(-1)
+            try:
+                ess = float(np.asarray(effective_sample_size(jnp.asarray(v))))
+                rhat = float(np.asarray(gelman_rubin(jnp.asarray(v)))) if v.shape[0] > 1 else np.nan
+            except Exception:
+                ess, rhat = np.nan, np.nan
+            print(f"{k:>16} {flat.mean():>9.3g} {flat.std():>9.3g} "
+                  f"{np.quantile(flat, 0.05):>9.3g} {np.quantile(flat, 0.95):>9.3g} "
+                  f"{ess:>9.3g} {rhat:>7.3g}")
+
+    def plot(self, names=None, batch_ndim=2, grid=True, log=False):
+        """Grid of per-chain trace plots (delegates to plot.plot_chains)."""
+        from montecosmo_tpu.plot import plot_chains
+        return plot_chains(self, names=names, batch_ndim=batch_ndim, grid=grid, log=log)
