@@ -1,0 +1,435 @@
+"""Microcanonical Langevin Monte Carlo (MCLMC) and its Metropolis-adjusted
+variant (MAMS), with automatic L / step-size adaptation.
+
+Native implementation of the sampler stack the reference takes from BlackJAX
+(`montecosmo/samplers.py:285-583`), following Robnik+2022 (arXiv:2212.08549)
+and Robnik&Seljak 2023 for the adaptation:
+
+* isokinetic dynamics on the sphere: the exact ESH momentum bounce
+  u' = (e (1-z)(1+z+c(1-z)) + 2 z u) / |...|,  z = e^{-delta},
+  delta = eps |g| / (d-1), c = <u, e>, with kinetic-energy change
+  (d-1)(delta - log 2 + log(1 + c + (1-c) z^2)),
+* minimal-norm (McLachlan) 2nd-order splitting: 2 gradient evals / step,
+* partial momentum refresh (OU on the sphere) with rate eps/L,
+* tune1: stochastic step-size control targeting a desired energy variance
+  per dimension;  tune2: trajectory length L (and optionally a diagonal
+  inverse mass matrix) from streaming position variances,
+* MAMS: full-refresh trajectories of random length ~ U(0, 2 L / eps) with an
+  MH correction, step size tuned to a target acceptance rate.
+
+All loops are `lax.scan`s over flattened states: chains shard cleanly with
+`vmap` + jax.sharding (see parallel.chains.map_chains).
+"""
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+from jax import flatten_util, lax, numpy as jnp, random as jr, value_and_grad
+
+import jax
+
+
+class IntegratorState(NamedTuple):
+    position: Any          # pytree
+    momentum: Any          # flat unit vector (d,)
+    logdensity: Any
+    logdensity_grad: Any   # pytree
+
+
+class MCLMCAdaptationState(NamedTuple):
+    L: Any
+    step_size: Any
+    inverse_mass_matrix: Any  # flat (d,) or scalar 1.0
+
+
+_MCLACHLAN_B1 = 0.1931833275037836
+
+
+def _ravel(tree):
+    return flatten_util.ravel_pytree(tree)
+
+
+def mclmc_init(position, logdensity_fn, rng_key):
+    """Initial state: random unit momentum + logdensity and gradient."""
+    flat, unravel = _ravel(position)
+    u = jr.normal(rng_key, flat.shape, dtype=flat.dtype)
+    u = u / jnp.linalg.norm(u)
+    logdensity, grad = value_and_grad(logdensity_fn)(position)
+    return IntegratorState(position, u, logdensity, grad)
+
+
+def _momentum_update(u, grad_flat, sqrt_invmm, step_size):
+    """Exact isokinetic (ESH) momentum bounce; returns (u', dKE)."""
+    d = u.shape[0]
+    g = grad_flat * sqrt_invmm
+    gnorm = jnp.linalg.norm(g)
+    e = g / gnorm
+    delta = step_size * gnorm / (d - 1)
+    c = u @ e
+    z = jnp.exp(-delta)
+    u_new = e * (1 - z) * (1 + z + c * (1 - z)) + 2 * z * u
+    u_new = u_new / jnp.linalg.norm(u_new)
+    dKE = (d - 1) * (delta - jnp.log(2) + jnp.log(1 + c + (1 - c) * z**2))
+    return u_new, dKE
+
+
+def _mclachlan_step(state: IntegratorState, logdensity_fn, step_size, sqrt_invmm):
+    """One minimal-norm 2nd-order isokinetic step (2 gradient evals)."""
+    x_flat, unravel = _ravel(state.position)
+    g_flat, _ = _ravel(state.logdensity_grad)
+    u = state.momentum
+    b1 = _MCLACHLAN_B1
+
+    u, dk1 = _momentum_update(u, g_flat, sqrt_invmm, b1 * step_size)
+    x_flat = x_flat + 0.5 * step_size * sqrt_invmm * u
+    logdensity, grad = value_and_grad(logdensity_fn)(unravel(x_flat))
+    g_flat, _ = _ravel(grad)
+    u, dk2 = _momentum_update(u, g_flat, sqrt_invmm, (1 - 2 * b1) * step_size)
+    x_flat = x_flat + 0.5 * step_size * sqrt_invmm * u
+    logdensity, grad = value_and_grad(logdensity_fn)(unravel(x_flat))
+    g_flat, _ = _ravel(grad)
+    u, dk3 = _momentum_update(u, g_flat, sqrt_invmm, b1 * step_size)
+
+    new = IntegratorState(unravel(x_flat), u, logdensity, grad)
+    return new, dk1 + dk2 + dk3
+
+
+def _partial_refresh(u, rng_key, step_size, L):
+    """OU momentum refresh on the sphere with rate eps/L."""
+    d = u.shape[0]
+    nu = jnp.sqrt((jnp.exp(2 * step_size / L) - 1.0) / d)
+    z = nu * jr.normal(rng_key, u.shape, dtype=u.dtype)
+    un = u + z
+    return un / jnp.linalg.norm(un)
+
+
+def mclmc_kernel(logdensity_fn, inverse_mass_matrix=1.0):
+    """Unadjusted MCLMC transition: McLachlan step + partial refresh.
+
+    Returns (new_state, info) with info = dict(energy_change, logdensity).
+    """
+    sqrt_invmm = jnp.sqrt(inverse_mass_matrix)
+
+    def kernel(rng_key, state: IntegratorState, L, step_size):
+        new, dKE = _mclachlan_step(state, logdensity_fn, step_size, sqrt_invmm)
+        energy_change = dKE - new.logdensity + state.logdensity
+        u = _partial_refresh(new.momentum, rng_key, step_size, L)
+        new = new._replace(momentum=u)
+        return new, dict(energy_change=energy_change, logdensity=new.logdensity)
+
+    return kernel
+
+
+# --------------------------------------------------------------------- adaptation
+def _nan_guard(prev_state, next_state, step_size_max, energy_change, step_size):
+    """Reject non-finite transitions and shrink the step-size cap."""
+    flat, _ = _ravel(next_state.position)
+    ok = (jnp.isfinite(energy_change)
+          & jnp.all(jnp.isfinite(flat))
+          & jnp.isfinite(next_state.logdensity))
+    state = jax.tree.map(lambda n, p: jnp.where(ok, n, p), next_state, prev_state)
+    step_size_max = jnp.where(ok, step_size_max, step_size * 0.8)
+    energy_change = jnp.where(ok, energy_change, jnp.inf)
+    return ok, state, step_size_max, energy_change
+
+
+def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
+                 desired_energy_var=5e-4, diagonal_preconditioning=False,
+                 num_effective_samples=256, trust_in_estimate=1.5):
+    """Tune (L, step_size[, diag inverse mass]) for MCLMC.
+
+    tune1 (first half): stochastic step-size control — per step the squared
+    energy error xi = E^2/(d sigma*^2) updates a forgetting average of
+    xi / eps^6 (the error scales as eps^6 for a 2nd-order integrator), whose
+    -1/6 power is the new step size.  tune2 (second half): same, plus
+    streaming position moments giving L = sqrt(sum Var[x]) and optionally the
+    diagonal inverse mass matrix.
+
+    Returns (state, MCLMCAdaptationState) — same contract as the reference's
+    `get_mclmc_warmup` (samplers.py:285-340).
+    """
+    init_seed, tune_seed = jr.split(seed, 2)
+    state = mclmc_init(init_pos, logdf, init_seed)
+    flat, unravel = _ravel(state.position)
+    d = flat.shape[0]
+
+    if config is None:
+        config = MCLMCAdaptationState(
+            jnp.asarray(d**0.5, flat.dtype),
+            jnp.asarray(d**0.5 / 1e4, flat.dtype),
+            inverse_mass_matrix=jnp.ones(d, flat.dtype))
+    elif isinstance(config, dict):
+        config = MCLMCAdaptationState(
+            L=config["L"], step_size=config["step_size"],
+            inverse_mass_matrix=config.get("inverse_mass_matrix", jnp.ones(d)))
+
+    if n_steps == 0:
+        return state, config
+
+    steps1 = n_steps // 2
+    steps2 = n_steps - steps1
+    gamma = (num_effective_samples - 1.0) / (num_effective_samples + 1.0)
+
+    def make_phase(stream_moments):
+        def step(carry, key):
+            state, params, (F, W, step_size_max), (w_sum, x_sum, x2_sum) = carry
+            kernel = mclmc_kernel(logdf, params.inverse_mass_matrix)
+            next_state, info = kernel(key, state, params.L, params.step_size)
+            ok, state, step_size_max, energy_change = _nan_guard(
+                state, next_state, step_size_max, info["energy_change"],
+                params.step_size)
+
+            xi = energy_change**2 / (d * desired_energy_var) + 1e-8
+            w = jnp.exp(-0.5 * (jnp.log(xi) / (6.0 * trust_in_estimate))**2)
+            F = gamma * F + w * xi / params.step_size**6
+            W = gamma * W + w
+            step_size = (F / W) ** (-1.0 / 6.0)
+            step_size = jnp.minimum(step_size, step_size_max)
+            params = params._replace(step_size=step_size)
+
+            if stream_moments:
+                x, _ = _ravel(state.position)
+                wgt = ok.astype(x.dtype)
+                w_sum = w_sum + wgt
+                x_sum = x_sum + wgt * x
+                x2_sum = x2_sum + wgt * x**2
+            return (state, params, (F, W, step_size_max), (w_sum, x_sum, x2_sum)), None
+
+        return step
+
+    F0 = jnp.zeros((), flat.dtype)
+    W0 = jnp.zeros((), flat.dtype)
+    cap0 = jnp.asarray(jnp.inf, flat.dtype)
+    mom0 = (jnp.zeros((), flat.dtype), jnp.zeros(d, flat.dtype), jnp.zeros(d, flat.dtype))
+
+    carry = (state, config, (F0, W0, cap0), mom0)
+    keys1, keys2 = jr.split(tune_seed)
+    carry, _ = lax.scan(make_phase(False), carry, jr.split(keys1, steps1))
+    carry, _ = lax.scan(make_phase(True), carry, jr.split(keys2, steps2))
+    state, params, _, (w_sum, x_sum, x2_sum) = carry
+
+    x_avg = x_sum / jnp.maximum(w_sum, 1)
+    variances = jnp.maximum(x2_sum / jnp.maximum(w_sum, 1) - x_avg**2, 1e-12)
+
+    if diagonal_preconditioning:
+        invmm = variances
+        # the effective step lives in whitened coordinates: rescale eps so the
+        # typical per-coordinate move is preserved
+        old = jnp.sqrt(jnp.asarray(params.inverse_mass_matrix))
+        new = jnp.sqrt(invmm)
+        scale = jnp.exp(jnp.mean(jnp.log(old / new)))
+        params = params._replace(inverse_mass_matrix=invmm,
+                                 step_size=params.step_size * scale,
+                                 L=jnp.sqrt(jnp.asarray(float(d), flat.dtype)))
+    else:
+        params = params._replace(L=jnp.sqrt(jnp.sum(variances)))
+
+    return state, params
+
+
+def mclmc_run(seed, state, config, logdf, n_samples, transform=None,
+              thinning=1, progress_bar=False):
+    """Run MCLMC for `n_samples` thinned samples (thinning inner steps each).
+
+    Per kept sample records (position, logdensity, mse_per_dim = RMS^2 of the
+    per-step energy change / d) and n_evals bookkeeping (2 grad evals per
+    McLachlan step).  Same contract as the reference's `get_mclmc_run`
+    (samplers.py:344-401).
+    """
+    if isinstance(config, dict):
+        L = config["L"]
+        step_size = config["step_size"]
+        invmm = config.get("inverse_mass_matrix", 1.0)
+    else:
+        L, step_size, invmm = config.L, config.step_size, config.inverse_mass_matrix
+
+    kernel = mclmc_kernel(logdf, invmm)
+    flat, _ = _ravel(state.position)
+    d = flat.shape[0]
+
+    if transform is None:
+        transform = lambda state, info: (
+            state.position,
+            {"logdensity": state.logdensity,
+             "mse_per_dim": info["energy_change"] ** 2 / d})
+
+    def inner(state, key):
+        state, info = kernel(key, state, L, step_size)
+        return state, info["energy_change"]
+
+    def outer(state, keys):
+        state, de = lax.scan(inner, state, keys)
+        info = {"energy_change": jnp.sqrt(jnp.mean(de**2))}
+        return state, transform(state, info)
+
+    keys = jr.split(seed, (n_samples, thinning))
+    state, history = lax.scan(outer, state, keys)
+    samples, infos = history
+    infos = dict(infos)
+    infos["n_evals"] = 2 * thinning * jnp.ones(n_samples)
+    return state, {**samples, **infos}
+
+
+def get_mclmc_warmup(logdf, n_steps=None, config=None, desired_energy_var=5e-4,
+                     diagonal_preconditioning=False):
+    return partial(mclmc_warmup, logdf=logdf, n_steps=n_steps, config=config,
+                   desired_energy_var=desired_energy_var,
+                   diagonal_preconditioning=diagonal_preconditioning)
+
+
+def get_mclmc_run(logdf, n_samples, transform=None, thinning=1, progress_bar=False):
+    return partial(mclmc_run, logdf=logdf, n_samples=n_samples,
+                   transform=transform, thinning=thinning,
+                   progress_bar=progress_bar)
+
+
+# ======================================================================= MAMS
+def _trajectory(state, logdensity_fn, step_size, sqrt_invmm, n_steps, max_steps):
+    """Integrate up to `max_steps` McLachlan steps, active for the first
+    `n_steps` — accumulates the energy change for the MH correction."""
+    def body(carry, i):
+        state, dE = carry
+        new, dKE = _mclachlan_step(state, logdensity_fn, step_size, sqrt_invmm)
+        step_dE = dKE - new.logdensity + state.logdensity
+        take = i < n_steps
+        state = jax.tree.map(lambda n, p: jnp.where(take, n, p), new, state)
+        dE = dE + jnp.where(take, step_dE, 0.0)
+        return (state, dE), None
+
+    (state, dE), _ = lax.scan(body, (state, jnp.zeros(())), jnp.arange(max_steps))
+    return state, dE
+
+
+def mams_kernel(logdensity_fn, inverse_mass_matrix, step_size, avg_steps, max_steps,
+                L_proposal_factor=jnp.inf):
+    """Metropolis-adjusted MCLMC: full momentum refresh, random trajectory
+    length ~ ceil(U(0,1) * 2 * avg_steps), MH accept on the energy error."""
+    sqrt_invmm = jnp.sqrt(inverse_mass_matrix)
+
+    def kernel(rng_key, state: IntegratorState):
+        key_mom, key_len, key_acc = jr.split(rng_key, 3)
+        u = jr.normal(key_mom, state.momentum.shape, dtype=state.momentum.dtype)
+        u = u / jnp.linalg.norm(u)
+        state = state._replace(momentum=u)
+
+        n_steps = jnp.ceil(jr.uniform(key_len) * 2 * avg_steps).astype(int)
+        n_steps = jnp.clip(n_steps, 1, max_steps)
+        prop, dE = _trajectory(state, logdensity_fn, step_size, sqrt_invmm,
+                               n_steps, max_steps)
+
+        p_acc = jnp.minimum(1.0, jnp.exp(-dE))
+        p_acc = jnp.where(jnp.isfinite(dE), p_acc, 0.0)
+        accept = jr.uniform(key_acc) < p_acc
+        new = jax.tree.map(lambda p, s: jnp.where(accept, p, s), prop, state)
+        info = dict(acceptance_rate=p_acc, num_integration_steps=n_steps,
+                    is_accepted=accept)
+        return new, info
+
+    return kernel
+
+
+def mams_warmup(seed, init_pos, logdf, n_steps=0, config=None,
+                diagonal_preconditioning=False, target_acc_rate=0.65,
+                max_steps=128, random_trajectory_length=True,
+                L_proposal_factor=jnp.inf):
+    """Tune MAMS: Robbins-Monro step-size control toward `target_acc_rate`,
+    L from streaming position variances.  Same contract as the reference's
+    `get_mams_warmup` (samplers.py:432-497)."""
+    init_seed, tune_seed = jr.split(seed, 2)
+    state = mclmc_init(init_pos, logdf, init_seed)
+    flat, unravel = _ravel(state.position)
+    d = flat.shape[0]
+
+    if config is None:
+        config = MCLMCAdaptationState(
+            jnp.asarray(d**0.5, flat.dtype),
+            jnp.asarray(d**0.5 / 64, flat.dtype),
+            inverse_mass_matrix=jnp.ones(d, flat.dtype))
+    elif isinstance(config, dict):
+        config = MCLMCAdaptationState(
+            L=config["L"], step_size=config["step_size"],
+            inverse_mass_matrix=config.get("inverse_mass_matrix", jnp.ones(d)))
+
+    if n_steps == 0:
+        return state, config
+
+    def step(carry, xs):
+        i, key = xs
+        state, params, (w_sum, x_sum, x2_sum) = carry
+        avg_steps = jnp.maximum(params.L / params.step_size, 1.0)
+        kernel = mams_kernel(logdf, params.inverse_mass_matrix, params.step_size,
+                             avg_steps, max_steps, L_proposal_factor)
+        state, info = kernel(key, state)
+
+        # Robbins-Monro on log step size toward the target acceptance
+        lr = 0.5 / jnp.sqrt(1.0 + i)
+        log_eps = jnp.log(params.step_size) \
+            + lr * (info["acceptance_rate"] - target_acc_rate)
+        params = params._replace(step_size=jnp.exp(log_eps))
+
+        x, _ = _ravel(state.position)
+        w_sum = w_sum + 1.0
+        x_sum = x_sum + x
+        x2_sum = x2_sum + x**2
+        return (state, params, (w_sum, x_sum, x2_sum)), None
+
+    mom0 = (jnp.zeros((), flat.dtype), jnp.zeros(d, flat.dtype), jnp.zeros(d, flat.dtype))
+    carry = (state, config, mom0)
+    xs = (jnp.arange(n_steps), jr.split(tune_seed, n_steps))
+    (state, params, (w_sum, x_sum, x2_sum)), _ = lax.scan(step, carry, xs)
+
+    x_avg = x_sum / jnp.maximum(w_sum, 1)
+    variances = jnp.maximum(x2_sum / jnp.maximum(w_sum, 1) - x_avg**2, 1e-12)
+    if diagonal_preconditioning:
+        params = params._replace(inverse_mass_matrix=variances,
+                                 L=jnp.sqrt(jnp.asarray(float(d), flat.dtype)))
+    else:
+        params = params._replace(L=jnp.sqrt(jnp.sum(variances)))
+    return state, params
+
+
+def mams_run(seed, state, config, logdf, n_samples, transform=None, thinning=1,
+             progress_bar=False, max_steps=256, L_proposal_factor=jnp.inf):
+    """Run MAMS; records (position, logdensity, acceptance_rate, n_evals)."""
+    if isinstance(config, dict):
+        L, step_size = config["L"], config["step_size"]
+        invmm = config.get("inverse_mass_matrix", 1.0)
+    else:
+        L, step_size, invmm = config.L, config.step_size, config.inverse_mass_matrix
+
+    avg_steps = jnp.maximum(L / step_size, 1.0)
+    kernel = mams_kernel(logdf, invmm, step_size, avg_steps, max_steps,
+                         L_proposal_factor)
+
+    if transform is None:
+        transform = lambda state, info: (
+            state.position,
+            {"logdensity": state.logdensity,
+             "acceptance_rate": info["acceptance_rate"],
+             "n_evals": info["num_integration_steps"] * 2})
+
+    def inner(state, key):
+        state, info = kernel(key, state)
+        return state, (info["acceptance_rate"], info["num_integration_steps"])
+
+    def outer(state, keys):
+        state, (acc, n_int) = lax.scan(inner, state, keys)
+        info = dict(acceptance_rate=jnp.mean(acc),
+                    num_integration_steps=jnp.sum(n_int))
+        return state, transform(state, info)
+
+    keys = jr.split(seed, (n_samples, thinning))
+    state, history = lax.scan(outer, state, keys)
+    samples, infos = history
+    return state, {**samples, **infos}
+
+
+def get_mams_warmup(logdf, n_steps=None, config=None, diagonal_preconditioning=False):
+    return partial(mams_warmup, logdf=logdf, n_steps=n_steps, config=config,
+                   diagonal_preconditioning=diagonal_preconditioning)
+
+
+def get_mams_run(logdf, n_samples, transform=None, thinning=1, progress_bar=False):
+    return partial(mams_run, logdf=logdf, n_samples=n_samples,
+                   transform=transform, thinning=thinning,
+                   progress_bar=progress_bar)

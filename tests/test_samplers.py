@@ -1,0 +1,145 @@
+"""Sampler correctness: recover moments of known targets.
+
+MCLMC/MAMS/NUTS/HMC-within-Gibbs each sample analytically known
+distributions; checks on means, variances, acceptance statistics and tuned
+hyperparameters.
+"""
+import numpy as np
+import pytest
+import jax
+from jax import numpy as jnp, random as jr
+
+from montecosmo_tpu.samplers import (
+    get_mclmc_run, get_mclmc_warmup, get_mams_run, get_mams_warmup,
+    hmc_init, hmc_kernel, nuts_kernel, window_adaptation,
+    nutswg_init, get_init_state, sampling_loop_general, optimize,
+)
+
+D = 8
+SCALES = jnp.asarray(np.geomspace(0.5, 3.0, D), jnp.float32)
+
+
+def logdf_gauss(x):
+    z = x["x"] / SCALES
+    return -0.5 * jnp.sum(z**2)
+
+
+def init_pos(key=0):
+    return {"x": jr.normal(jr.key(key), (D,))}
+
+
+def test_mclmc_warmup_and_run():
+    warmup = get_mclmc_warmup(logdf_gauss, n_steps=1000, desired_energy_var=5e-4)
+    state, config = warmup(jr.key(0), init_pos())
+    assert np.isfinite(float(config.step_size)) and float(config.step_size) > 0
+    # L ~ sqrt(sum of variances) = sqrt(sum SCALES^2)
+    L_expect = float(jnp.sqrt(jnp.sum(SCALES**2)))
+    assert 0.3 * L_expect < float(config.L) < 3 * L_expect, (config.L, L_expect)
+
+    run = get_mclmc_run(logdf_gauss, n_samples=2000, thinning=4)
+    state, samples = run(jr.key(1), state, config)
+    xs = np.asarray(samples["x"])
+    assert xs.shape == (2000, D)
+    # standardized means within MC error of correlated draws
+    assert np.all(np.abs(xs.mean(0) / np.asarray(SCALES)) < 0.35)
+    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.25)
+    # energy-error control: mse_per_dim near the requested level
+    mse = float(np.mean(samples["mse_per_dim"]))
+    assert mse < 100 * 5e-4, mse
+    assert np.all(np.asarray(samples["n_evals"]) == 8)
+
+
+def test_mclmc_preconditioning():
+    warmup = get_mclmc_warmup(logdf_gauss, n_steps=1500,
+                              diagonal_preconditioning=True)
+    state, config = warmup(jr.key(0), init_pos())
+    # tuned inverse mass ~ the marginal variances
+    invmm = np.asarray(config.inverse_mass_matrix)
+    ratio = invmm / np.asarray(SCALES) ** 2
+    assert np.all(ratio > 0.1) and np.all(ratio < 10), ratio
+
+
+def test_mams():
+    warmup = get_mams_warmup(logdf_gauss, n_steps=600)
+    state, config = warmup(jr.key(0), init_pos())
+    run = get_mams_run(logdf_gauss, n_samples=1500, thinning=2)
+    state, samples = run(jr.key(1), state, config)
+    xs = np.asarray(samples["x"])
+    np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.5)
+    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.35)
+    acc = float(np.mean(samples["acceptance_rate"]))
+    assert 0.3 < acc <= 1.0, acc
+
+
+def test_hmc_kernel():
+    state = hmc_init(init_pos(), logdf_gauss)
+    kernel = hmc_kernel(logdf_gauss, step_size=0.25, num_integration_steps=16)
+
+    def step(state, key):
+        state, info = kernel(key, state)
+        return state, (state.position["x"], info["acceptance_rate"])
+
+    state, (xs, accs) = jax.lax.scan(step, state, jr.split(jr.key(2), 3000))
+    xs = np.asarray(xs[500:])
+    assert float(np.mean(np.asarray(accs))) > 0.6
+    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.3)
+
+
+def test_nuts_kernel():
+    state = hmc_init(init_pos(), logdf_gauss)
+    kernel = nuts_kernel(logdf_gauss, step_size=0.4,
+                         inverse_mass_matrix=jnp.ones(D))
+
+    def step(state, key):
+        state, info = kernel(key, state)
+        return state, (state.position["x"], info["acceptance_rate"],
+                       info["num_integration_steps"])
+
+    state, (xs, accs, nints) = jax.lax.scan(step, state, jr.split(jr.key(3), 2000))
+    xs = np.asarray(xs[200:])
+    np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.4)
+    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.25)
+    assert float(np.mean(np.asarray(accs))) > 0.5
+    assert float(np.mean(np.asarray(nints))) > 1  # dynamic trajectories
+
+
+def test_nuts_window_adaptation():
+    (state, params), hist = window_adaptation(
+        nuts_kernel, logdf_gauss, num_steps=600, initial_position=init_pos(),
+        target_acceptance_rate=0.8, rng_key=jr.key(4))
+    eps = float(params["step_size"])
+    assert 0.01 < eps < 5.0, eps
+    invmm = np.asarray(params["inverse_mass_matrix"])
+    ratio = invmm / np.asarray(SCALES) ** 2
+    assert np.all(ratio > 0.05) and np.all(ratio < 20), ratio
+    # late acceptance near target
+    acc = float(np.mean(np.asarray(hist["acceptance_rate"])[-100:]))
+    assert 0.55 < acc <= 1.0, acc
+
+
+def test_nutswg_blocked_gibbs():
+    """Blocked NUTS-within-Gibbs samples a 2-block Gaussian."""
+    def logdf(params):
+        return (-0.5 * jnp.sum((params["mesh_"] / 2.0) ** 2)
+                - 0.5 * jnp.sum(params["rest_"] ** 2))
+
+    step_fn, init_fn, config, init_state_fn = nutswg_init(logdf)
+    init = {"mesh_": jnp.zeros(6), "rest_": jnp.zeros(3)}
+    state = get_init_state(init, logdf, init_fn,
+                           blocks={"mesh_": ["mesh_"], "rest_": ["rest_"]})
+    config = {k: {"step_size": 0.5, "inverse_mass_matrix": 1.0} for k in state}
+
+    last, (positions, infos) = sampling_loop_general(
+        jr.key(5), state, logdf, step_fn, init_fn, config, n_samples=1500)
+    mesh = np.asarray(positions["mesh_"])[300:]
+    rest = np.asarray(positions["rest_"])[300:]
+    np.testing.assert_allclose(mesh.std(), 2.0, rtol=0.2)
+    np.testing.assert_allclose(rest.std(), 1.0, rtol=0.2)
+    assert int(np.sum(np.asarray(infos["n_evals"]))) > 0
+
+
+def test_optimize():
+    potential = lambda p: jnp.sum((p["x"] - 3.0) ** 2 * jnp.arange(1, D + 1))
+    params, values = optimize(potential, init_pos(), lr0=0.3, n_epochs=400)
+    np.testing.assert_allclose(np.asarray(params["x"]), 3.0, atol=0.05)
+    assert float(values[-1]) < float(values[0])
