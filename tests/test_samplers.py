@@ -36,13 +36,13 @@ def test_mclmc_warmup_and_run():
     L_expect = float(jnp.sqrt(jnp.sum(SCALES**2)))
     assert 0.3 * L_expect < float(config.L) < 3 * L_expect, (config.L, L_expect)
 
-    run = get_mclmc_run(logdf_gauss, n_samples=2000, thinning=4)
+    run = get_mclmc_run(logdf_gauss, n_samples=3000, thinning=8)
     state, samples = run(jr.key(1), state, config)
     xs = np.asarray(samples["x"])
-    assert xs.shape == (2000, D)
+    assert xs.shape == (3000, D)
     # standardized means within MC error of correlated draws
     assert np.all(np.abs(xs.mean(0) / np.asarray(SCALES)) < 0.35)
-    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.25)
+    np.testing.assert_allclose(xs.std(0), np.asarray(SCALES), rtol=0.3)
     # energy-error control: mse_per_dim near the requested level
     mse = float(np.mean(samples["mse_per_dim"]))
     assert mse < 100 * 5e-4, mse
