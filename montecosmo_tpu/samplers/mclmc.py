@@ -172,7 +172,7 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
 
     def make_phase(stream_moments):
         def step(carry, key):
-            state, params, (F, W, step_size_max), (w_sum, x_sum, x2_sum) = carry
+            state, params, (F, W, step_size_max, xi_avg), (w_sum, x_sum, x2_sum) = carry
             kernel = mclmc_kernel(logdf, params.inverse_mass_matrix)
             next_state, info = kernel(key, state, params.L, params.step_size)
             ok, state, step_size_max, energy_change = _nan_guard(
@@ -181,11 +181,17 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
 
             xi = energy_change**2 / (d * desired_energy_var) + 1e-8
             w = jnp.exp(-0.5 * (jnp.log(xi) / (6.0 * trust_in_estimate))**2)
-            F = gamma * F + w * xi / params.step_size**6
+            # per-step estimate of the optimal step size (2nd-order
+            # integrator: squared energy error ~ eps^6), averaged in LOG space
+            # with forgetting — bounded influence of early transients
+            log_eps_hat = jnp.log(params.step_size) - jnp.log(xi) / 6.0
+            F = gamma * F + w * log_eps_hat
             W = gamma * W + w
-            step_size = (F / W) ** (-1.0 / 6.0)
+            step_size = jnp.exp(F / jnp.maximum(W, 1e-12))
             step_size = jnp.minimum(step_size, step_size_max)
             params = params._replace(step_size=step_size)
+            # arithmetic mean of xi at the current eps (for the final rescale)
+            xi_avg = gamma * xi_avg[0] + jnp.minimum(xi, 1e3), gamma * xi_avg[1] + 1.0
 
             if stream_moments:
                 x, _ = _ravel(state.position)
@@ -193,20 +199,28 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
                 w_sum = w_sum + wgt
                 x_sum = x_sum + wgt * x
                 x2_sum = x2_sum + wgt * x**2
-            return (state, params, (F, W, step_size_max), (w_sum, x_sum, x2_sum)), None
+            return (state, params, (F, W, step_size_max, xi_avg),
+                    (w_sum, x_sum, x2_sum)), None
 
         return step
 
     F0 = jnp.zeros((), flat.dtype)
     W0 = jnp.zeros((), flat.dtype)
     cap0 = jnp.asarray(jnp.inf, flat.dtype)
+    xi0 = (jnp.zeros((), flat.dtype), jnp.zeros((), flat.dtype))
     mom0 = (jnp.zeros((), flat.dtype), jnp.zeros(d, flat.dtype), jnp.zeros(d, flat.dtype))
 
-    carry = (state, config, (F0, W0, cap0), mom0)
+    carry = (state, config, (F0, W0, cap0, xi0), mom0)
     keys1, keys2 = jr.split(tune_seed)
     carry, _ = lax.scan(make_phase(False), carry, jr.split(keys1, steps1))
     carry, _ = lax.scan(make_phase(True), carry, jr.split(keys2, steps2))
-    state, params, _, (w_sum, x_sum, x2_sum) = carry
+    state, params, (_, _, _, (xi_num, xi_den)), (w_sum, x_sum, x2_sum) = carry
+
+    # rescale so the ARITHMETIC mean of xi is ~1 (log averaging targets the
+    # geometric mean, which undershoots for heavy-tailed energy errors)
+    xi_arith = xi_num / jnp.maximum(xi_den, 1e-12)
+    correction = jnp.clip(xi_arith, 1.0, 1e3) ** (-1.0 / 6.0)
+    params = params._replace(step_size=params.step_size * correction)
 
     x_avg = x_sum / jnp.maximum(w_sum, 1)
     variances = jnp.maximum(x2_sum / jnp.maximum(w_sum, 1) - x_avg**2, 1e-12)

@@ -46,7 +46,7 @@ def test_mclmc_warmup_and_run():
     # energy-error control: mse_per_dim near the requested level
     mse = float(np.mean(samples["mse_per_dim"]))
     assert mse < 100 * 5e-4, mse
-    assert np.all(np.asarray(samples["n_evals"]) == 8)
+    assert np.all(np.asarray(samples["n_evals"]) == 16)  # 2 grads x thinning 8
 
 
 def test_mclmc_preconditioning():
