@@ -1,0 +1,6 @@
+from montecosmo_tpu.parallel.mesh import make_device_mesh
+from montecosmo_tpu.parallel.fft import (
+    pencil_rfftn, pencil_irfftn, pencil_rfftk, sharded_poisson_forces_mesh,
+)
+from montecosmo_tpu.parallel.halo import halo_paint, halo_read
+from montecosmo_tpu.parallel.chains import map_chains
