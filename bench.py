@@ -1,0 +1,74 @@
+"""Headline benchmark: PM forward+gradient evaluations per second.
+
+Config 2 of BASELINE.json: 2LPT + full Lagrangian bias + RSD observable at a
+128^3 final mesh (default oversampling -> 224^3 evolution mesh), quad-Gaussian
+field-level likelihood, float32, one forward + reverse render of the joint
+logpdf per evaluation — the unit of cost of every MCLMC/NUTS step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/sec", "vs_baseline": null}
+(the reference publishes no numbers — BASELINE.md documents the absence).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(final=128):
+    import jax
+    from jax import random as jr
+
+    from montecosmo_tpu import FieldLevelModel, default_config
+
+    conf = dict(default_config)
+    conf.update(
+        final_shape=3 * (final,), cell_length=500.0 * 2 / final,
+        evolution="lpt", lpt_order=2, a_obs=0.5, curved_sky=False,
+        box_center=(0.0, 0.0, 1500.0), lik_type="quad_gauss", precond="kaiser",
+    )
+    model = FieldLevelModel(**conf)
+
+    params = model.reparam(dict(model.fiduc), inv=True)
+    params["white_mesh_"] = jr.normal(jr.key(0), model.init_shape)
+    pred = model.predict(seed=1, samples=params, hide_base=False,
+                         hide_det=False, hide_samp=False)
+    obs = {"count_mesh": pred["count_mesh"]}
+
+    def eval_step(p):
+        return jax.value_and_grad(lambda q: model.logpdf({**q, **obs}))(p)
+
+    return jax.jit(eval_step), params
+
+
+def main(final=128, n_warmup=2, n_iter=10):
+    import jax
+
+    step, params = build(final)
+    # compile + warmup
+    for _ in range(n_warmup):
+        logp, grads = step(params)
+        jax.block_until_ready((logp, grads))
+    assert np.isfinite(float(logp)), "non-finite logpdf in benchmark"
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        logp, grads = step(params)
+    jax.block_until_ready((logp, grads))
+    dt = (time.perf_counter() - t0) / n_iter
+
+    result = {
+        "metric": f"PM forward+grad evals/sec at {final}^3 final mesh "
+                  "(2LPT + Lagrangian bias + RSD, quad-Gaussian likelihood, f32)",
+        "value": round(1.0 / dt, 4),
+        "unit": "evals/sec",
+        "vs_baseline": None,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    main(final)

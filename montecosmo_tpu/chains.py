@@ -221,7 +221,8 @@ class Chains(Samples):
 
     # ------------------------------------------------------------------ persistence
     def save(self, path):
-        h5save(path, {"data": {k: np.asarray(v) for k, v in self.data.items()},
+        from montecosmo_tpu.utils.io import to_np
+        h5save(path, {"data": {k: to_np(v) for k, v in self.data.items()},
                       "groups": self.groups, "labels": self.labels})
 
     @classmethod

@@ -8,6 +8,7 @@ is pure and jit-compatible.
 """
 from functools import partial
 
+import jax
 import numpy as np
 from jax import grad, lax, numpy as jnp, random as jr, vmap
 from jax.scipy.spatial.transform import Rotation
@@ -18,7 +19,7 @@ from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk
 from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, r2chshape, rg2cgh, scale_shape,
 )
-from montecosmo_tpu.ops.paint import nufft, paint, read
+from montecosmo_tpu.ops.paint import nufft, paint, read, read_multi
 from montecosmo_tpu.ops.power import lin_power, lin_power_interp, lin_power_mesh
 from montecosmo_tpu.models.truncnorm import std2trunc, trunc2std
 from montecosmo_tpu.utils.geometry import cart2radecrad, radecrad2cart
@@ -274,18 +275,8 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     kvec = rfftk(mesh_shape, box_size)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
 
-    weights = 1.0
-
-    # b1 (local)
-    delta_pos = read(pos, delta, read_order) * growths.squeeze()
-    weights += b1 * delta_pos
-
-    # b2 (local, renormalized)
-    delta2_pos = delta_pos**2
-    sigma2 = delta2_pos.mean()
-    delta2_pos -= sigma2
-    weights += b2 * delta2_pos / 2
-
+    # ---- build every operator FIELD, then gather them all at the particle
+    # positions with ONE fused row-gather (TPU: C fused reads cost ~1 read)
     # shear tensor via 5 FFTs (traceless: s_22 from the trace condition)
     pot = lin_mesh * invlaplace_hat(kvec)
     shear = {}
@@ -299,54 +290,61 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     sa, sb, sc = shear[(0, 0)], shear[(1, 1)], shear[(2, 2)]
     sd, se, sf = shear[(0, 1)], shear[(0, 2)], shear[(1, 2)]
 
-    # bs2 (non-local, renormalized: <s^2> = 2/3 <delta^2>)
     shear2 = sa**2 + sb**2 + sc**2 + 2 * (sd**2 + se**2 + sf**2)
-    shear2_pos = read(pos, shear2, read_order) * growths.squeeze() ** 2
-    shear2_pos -= 2 / 3 * sigma2
-    weights += bs2 * shear2_pos
-
-    # b3 (local, renormalized)
-    delta3_pos = delta_pos**3 - 3 * sigma2 * delta_pos
-    weights += b3 * delta3_pos / 6
-
-    # bds2 (non-local; shear2_pos already renormalized)
-    weights += bds2 * delta_pos * shear2_pos
-
-    # bs3 = 3 det(shear) (Sarrus)
+    # bs3 operator = 3 det(shear) (Sarrus)
     shear3 = 3 * (sa * (sb * sc - sf**2) - sd * (sd * sc - se * sf)
                   + se * (sd * sf - sb * se))
-    shear3_pos = read(pos, shear3, read_order) * growths.squeeze() ** 3
-    weights += bs3 * shear3_pos
-
-    # bn2 (higher-derivative)
     delta_nab2 = jnp.fft.irfftn(-(kmesh**2) * lin_mesh)
-    weights += bn2 * read(pos, delta_nab2, read_order) * growths.squeeze()
+    grad_fields = [jnp.fft.irfftn(gradient_hat(kvec, i) * lin_mesh)
+                   for i in range(len(kvec))]  # in h/Mpc (velocity bias)
 
+    fields = [delta, shear2, shear3, delta_nab2, *grad_fields]
     if png_type is not None:
         trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
         phi = jnp.fft.irfftn(safe_div(lin_mesh, trans))
-
-        phi_pos = read(pos, phi, read_order)
-        weights += fNL_bp * phi_pos
-
-        phi_delta_pos = phi_pos * delta_pos
-        sigma_pd = phi_delta_pos.mean()
-        phi_delta_pos -= sigma_pd
-        weights += fNL_bpd * phi_delta_pos
-
-        # delta2_pos already renormalized -> only the cross term remains
-        weights += fNL_bpd2 * (phi_pos * delta2_pos - 2 * sigma_pd * delta_pos)
-        weights += fNL_bps2 * phi_pos * shear2_pos
-
         phi_nab2 = jnp.fft.irfftn(-(kmesh**2) * safe_div(lin_mesh, trans))
-        weights += fNL_bn2p * read(pos, phi_nab2, read_order)
+        fields += [phi, phi_nab2]
     else:
         phi = 0.0
 
+    vals = read_multi(pos, fields, read_order)
+    g = growths.squeeze()
+    delta_pos = vals[..., 0] * g
+    shear2_pos = vals[..., 1] * g**2
+    shear3_pos = vals[..., 2] * g**3
+    delta_nab2_pos = vals[..., 3] * g
+    delta_nabpar_pos = vals[..., 4:7]
+    if png_type is not None:
+        phi_pos = vals[..., 7]
+        phi_nab2_pos = vals[..., 8]
+
+    # ---- combine operators into the bias weights (renormalized)
+    weights = 1.0
+    weights += b1 * delta_pos
+
+    delta2_pos = delta_pos**2
+    sigma2 = delta2_pos.mean()
+    delta2_pos -= sigma2
+    weights += b2 * delta2_pos / 2
+
+    shear2_pos -= 2 / 3 * sigma2  # <s^2> = 2/3 <delta^2>
+    weights += bs2 * shear2_pos
+    weights += b3 * (delta_pos**3 - 3 * sigma2 * delta_pos) / 6
+    weights += bds2 * delta_pos * shear2_pos
+    weights += bs3 * shear3_pos
+    weights += bn2 * delta_nab2_pos
+
+    if png_type is not None:
+        weights += fNL_bp * phi_pos
+        phi_delta_pos = phi_pos * delta_pos
+        sigma_pd = phi_delta_pos.mean()
+        weights += fNL_bpd * (phi_delta_pos - sigma_pd)
+        # delta2_pos already renormalized -> only the cross term remains
+        weights += fNL_bpd2 * (phi_pos * delta2_pos - 2 * sigma_pd * delta_pos)
+        weights += fNL_bps2 * phi_pos * shear2_pos
+        weights += fNL_bn2p * phi_nab2_pos
+
     # bnpar: higher-derivative velocity bias (separate displacement)
-    delta_nabpar_pos = jnp.stack(
-        [read(pos, jnp.fft.irfftn(gradient_hat(kvec, i) * lin_mesh), read_order)
-         for i in range(len(kvec))], axis=-1)  # in h/Mpc
     dvel = bnpar * delta_nabpar_pos * growths
 
     return weights, dvel, phi
@@ -840,21 +838,35 @@ def fullsky2count(data, bg: Background, a_obs: float, los,
     los = np.asarray(los)
 
     chunks = [data] if isinstance(data, dict) else data
-    count = jnp.zeros(r2chshape(tuple(int(s) for s in final_shape)), dtype=complex)
     n_tracers = 0.0
+
+    # every complex op lives inside jit: the TPU runtime has no eager complex
+    # path, so chunks accumulate as (real, imag) float pairs on the host loop
+    @jax.jit
+    def paint_chunk(pos, weights):
+        pos = phys2cell_pos(pos, box_center, box_rot, box_size, final_shape)
+        k = nufft(pos, tuple(final_shape), paint_shape, weights=weights,
+                  paint_order=paint_order, interlace_order=interlace_order,
+                  paint_deconv=paint_deconv)
+        return k.real, k.imag
+
+    @jax.jit
+    def finish(re, im):
+        return jnp.fft.irfftn(jax.lax.complex(re, im))
+
+    count_re = count_im = 0.0
     for chunk in chunks:
-        pos = jnp.asarray(np.asarray(chunk["pos"], dtype=float))
+        pos = jnp.asarray(np.asarray(chunk["pos"], dtype=np.float32))
         if "vel" in chunk:
             E = float(np.sqrt(Esqr(bg.cosmo, a_obs)))
-            vel = np.asarray(chunk["vel"], dtype=float) / (a_obs * 100 * E)  # km/s -> Mpc/h
-            pos = pos + (vel * los).sum(-1, keepdims=True) * los
-        weights = jnp.asarray(chunk["WEIGHT"]) if "WEIGHT" in chunk else 1.0
-        pos = phys2cell_pos(pos, box_center, box_rot, box_size, final_shape)
-        count = count + nufft(pos, tuple(final_shape), paint_shape, weights=weights,
-                              paint_order=paint_order, interlace_order=interlace_order,
-                              paint_deconv=paint_deconv)
+            vel = np.asarray(chunk["vel"], dtype=np.float32) / (a_obs * 100 * E)  # km/s -> Mpc/h
+            pos = pos + (vel * los).sum(-1, keepdims=True) * jnp.asarray(los, pos.dtype)
+        weights = jnp.asarray(chunk["WEIGHT"]) if "WEIGHT" in chunk else jnp.ones(pos.shape[0])
+        re, im = paint_chunk(pos, weights)
+        count_re = count_re + re
+        count_im = count_im + im
         n_tracers += float(jnp.sum(weights)) if "WEIGHT" in chunk else len(pos)
-    count = jnp.fft.irfftn(count)
+    count = finish(count_re, count_im)
     # nufft applies the units jacobian -> total counts are conserved
     assert np.allclose(float(count.sum()), n_tracers, rtol=1e-3), \
         f"count sum {float(count.sum())} != n_tracers {n_tracers}"

@@ -205,7 +205,9 @@ class DetruncTruncNorm(Distribution):
 
     def _log_prob_scalar(self, value, loc, scale, low, high, loc_fid, scale_fid):
         push = partial(std2trunc, loc=loc_fid, scale=scale_fid, low=low, high=high)
-        ladj = jnp.log(jnp.abs(grad(push)(value)))
+        # floor: far beyond the bounds the soft-tail slope underflows to 0 in
+        # f32; log(0) would poison sampler gradients with NaNs
+        ladj = jnp.log(jnp.abs(grad(push)(value)) + 1e-30)
         return TruncatedNormal(loc, scale, low, high).log_prob(push(value)) + ladj
 
     def log_prob(self, value):
@@ -240,8 +242,11 @@ class DetruncUnif(Distribution):
 
     def _log_prob_scalar(self, value, low, high, loc_fid, scale_fid):
         push = partial(std2trunc, loc=loc_fid, scale=scale_fid, low=low, high=high)
-        ladj = jnp.log(jnp.abs(grad(push)(value)))
-        return Uniform(low, high).log_prob(push(value)) + ladj
+        ladj = jnp.log(jnp.abs(grad(push)(value)) + 1e-30)
+        # push saturates AT the bounds: evaluate the uniform just inside so the
+        # density (hence logpdf) stays finite when the tail clamps to the edge
+        y = jnp.clip(push(value), low + 1e-30, high - 1e-30)
+        return Uniform(low, high).log_prob(y) + ladj
 
     def log_prob(self, value):
         args = jnp.broadcast_arrays(value, *(jnp.asarray(x, float) for x in

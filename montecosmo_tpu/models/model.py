@@ -192,13 +192,16 @@ class Model:
         return ppl.block(model, hide_fn=hide_fn)
 
     def predict(self, seed=42, samples=None, batch_ndim=0, hide_base=True,
-                hide_det=True, hide_samp=True, from_base=False):
+                hide_det=True, hide_samp=True, from_base=False, jit=True):
         """Run the model conditioned on samples.
 
         samples None -> single prediction; int/tuple -> that batch shape of
         prior predictions; dict -> one prediction per sample (batch_ndim
-        leading dims).
+        leading dims).  The render is jitted by default (essential on TPU:
+        eager dispatch would round-trip per op).
         """
+        import jax as _jax
+
         if isinstance(seed, int):
             seed = jr.key(seed)
 
@@ -212,19 +215,21 @@ class Model:
             tr = ppl.trace(ppl.seed(model, rng_seed=seed)).get_trace()
             return {k: v["value"] for k, v in tr.items()}
 
+        maybe_jit = _jax.jit if jit else (lambda f: f)
+
         if samples is None:
-            return single(seed)
+            return maybe_jit(single)(seed)
         if isinstance(samples, (int, tuple)):
             if isinstance(samples, int):
                 samples = (samples,)
             seeds = jr.split(seed, samples)
-            return nvmap(single, len(samples))(seeds)
+            return maybe_jit(nvmap(single, len(samples)))(seeds)
         if isinstance(samples, dict):
             if len(samples) == 0:
                 return {}
             shape = jnp.shape(next(iter(samples.values())))[:batch_ndim]
             seeds = jr.split(seed, shape) if shape else seed
-            return nvmap(single, len(shape))(seeds, samples)
+            return maybe_jit(nvmap(single, len(shape)))(seeds, samples)
         raise ValueError("samples must be None, int, tuple, or dict")
 
     # ------------------------------------------------------------------ densities
@@ -684,7 +689,7 @@ class FieldLevelModel(Model):
             scale = posit_fn(stoch["s_e"] + stoch["s_k2e"] * kmesh**2
                              + stoch["s_kmu2e"] * (kmesh * mumesh) ** 2)
             scale = scale * selec_mesh**0.5 * temp**0.5
-            scale = cgh2rg(scale.astype(complex), norm="amp")
+            scale = cgh2rg(scale.astype(jnp.complex64), norm="amp")
             count_mesh = cgh2rg(jnp.fft.rfftn(count_mesh))
             count_mesh = ppl.sample("count_mesh", Normal(count_mesh, scale))
 
@@ -871,7 +876,7 @@ class FieldLevelModel(Model):
             raise ValueError(f"Unknown preconditioning: {self.precond}")
 
         transfer = np.prod(np.divide(self.init_shape, self.box_size)) ** 0.5 / scale
-        scale = cgh2rg(scale.astype(complex), norm="amp")
+        scale = cgh2rg(scale.astype(jnp.complex64), norm="amp")
         return scale, transfer
 
     def _groups(self, base=True):

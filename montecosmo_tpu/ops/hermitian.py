@@ -25,6 +25,7 @@ chreshape/boxreshape/scale_shape/mesh2masked).
 """
 from functools import lru_cache
 
+import jax
 import numpy as np
 from jax import numpy as jnp
 
@@ -152,53 +153,147 @@ def _base_weight(shape, norm):
     raise ValueError(f"norm must be one of {_NORMS}")
 
 
-def rg2cgh(mesh, norm="backward"):
-    """Real Gaussian tensor -> complex Gaussian Hermitian tensor (one gather).
+def _negx(a, axis=0):
+    """Index map i -> (-i) mod N along `axis`, as slices + a flip
+    (contiguous copies — no gather)."""
+    head = lax_slice_axis(a, 0, 1, axis)
+    tail = jnp.flip(lax_slice_axis(a, 1, None, axis), axis)
+    return jnp.concatenate([head, tail], axis)
 
-    `rg2cgh(N(0,I), norm)` is distributed exactly as `rfftn(N(0,I), norm)`, and
-    with `mean, amp = cgh2rg(meank, norm), cgh2rg(ampk, 'amp')`,
+
+def lax_slice_axis(a, start, stop, axis):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(start, stop)
+    return a[tuple(idx)]
+
+
+def _pack_line(col, Hx, corner_scale):
+    """1D Hermitian line along x from a (Nx, ...) real column.
+
+    Returns (re, im) of shape (Nx, ...): canonical 0<i<Hx from col[1:Hx]
+    (re) / col[Hx+1:] (im), conjugate mirrors for i>Hx, pure-real
+    (x corner_scale) self-conjugate points at i in {0, Hx}.
+    """
+    seg_r = col[1:Hx]
+    seg_i = col[Hx + 1:]
+    c0 = col[0:1] * corner_scale
+    cH = col[Hx:Hx + 1] * corner_scale
+    re = jnp.concatenate([c0, seg_r, cH, jnp.flip(seg_r, 0)], 0)
+    im = jnp.concatenate([jnp.zeros_like(c0), seg_i, jnp.zeros_like(cH),
+                          -jnp.flip(seg_i, 0)], 0)
+    return re, im
+
+
+def _pack_plane(p, corner_scale):
+    """2D Hermitian plane (Nx, Ny) from a real (Nx, Ny) input plane.
+
+    Canonical rows 0<j<Hy (re from p[:,1:Hy], im from p[:,Hy+1:]), conjugate
+    mirror rows for j>Hy, 1D Hermitian border lines at j in {0, Hy}.
+    All slices/flips/concats.
+    """
+    Nx, Ny = p.shape[:2]
+    Hx, Hy = Nx // 2, Ny // 2
+
+    rows_r = p[:, 1:Hy]
+    rows_i = p[:, Hy + 1:]
+    mir_r = _negx(jnp.flip(rows_r, 1), 0)
+    mir_i = -_negx(jnp.flip(rows_i, 1), 0)
+
+    l0_r, l0_i = _pack_line(p[:, 0], Hx, corner_scale)
+    lH_r, lH_i = _pack_line(p[:, Hy], Hx, corner_scale)
+
+    re = jnp.concatenate([l0_r[:, None], rows_r, lH_r[:, None], mir_r], 1)
+    im = jnp.concatenate([l0_i[:, None], rows_i, lH_i[:, None], mir_i], 1)
+    return re, im
+
+
+def rg2cgh(mesh, norm="backward"):
+    """Real Gaussian tensor -> complex Gaussian Hermitian tensor.
+
+    `rg2cgh(N(0,I), norm)` is distributed exactly as `rfftn(N(0,I), norm)`,
+    and with `mean, amp = cgh2rg(meank, norm), cgh2rg(ampk, 'amp')`,
     `rg2cgh(mean + amp * N(0,I), norm)` is distributed as
     `meank + ampk * rfftn(N(0,I), norm)`.
+
+    TPU-native: the permutation is composed entirely of static slices, flips
+    and concatenations (contiguous HBM copies) — arbitrary-index gathers are
+    pathologically slow on TPU.
 
     norm='amp' returns the RMS amplitude of the (real, imag) source pair —
     used to transport per-mode std fields into the real packing.
     """
     shape = tuple(mesh.shape)
-    plan = _repack_plan(shape)
-    flat = mesh.reshape(-1)
-    re = flat[plan["rsrc"]]
-    im = flat[plan["isrc"]]
-    if norm == "amp":
-        return ((re**2 + im**2) / 2) ** 0.5
+    Nx, Ny, Nz = shape
+    assert Nx % 2 == Ny % 2 == Nz % 2 == 0, "dimension lengths must be even."
+    Hz = Nz // 2
+    amp = norm == "amp"
+    corner_scale = 1.0 if amp else 2**0.5
+
+    # bulk: free complex modes along z
+    bulk_r = mesh[:, :, 1:Hz]
+    bulk_i = mesh[:, :, Hz + 1:]
+    # planes z=0 and z=Hz: 2D Hermitian packing
+    p0_r, p0_i = _pack_plane(mesh[:, :, 0], corner_scale)
+    pH_r, pH_i = _pack_plane(mesh[:, :, Hz], corner_scale)
+
+    re = jnp.concatenate([p0_r[:, :, None], bulk_r, pH_r[:, :, None]], 2)
+    im = jnp.concatenate([p0_i[:, :, None], bulk_i, pH_i[:, :, None]], 2)
+
+    if amp:
+        # RMS of the source pair; the zero imag at self-conjugate points is
+        # treated as sharing the real amplitude (reference 'amp' semantics)
+        im_amp = jnp.where(im == 0, re, im)
+        return ((re**2 + im_amp**2) / 2) ** 0.5
     w = _base_weight(shape, norm)
-    wr = np.where(plan["selfc"], w * 2**0.5, w).astype(mesh.dtype)
-    wi = np.where(plan["selfc"], 0.0, w * plan["sgn"]).astype(mesh.dtype)
-    return jax_complex(re * wr, im * wi)
+    # lax.complex rather than 1j-multiply: the eager 1j promotion hits an
+    # unimplemented convert_element_type on the TPU runtime
+    return jax.lax.complex(re * w, im * w)
+
+
+def _unpack_line(re, im, Hx, corner_scale):
+    """Inverse of `_pack_line`: (Nx,...) canonical real column."""
+    return jnp.concatenate([re[0:1] / corner_scale, re[1:Hx],
+                            re[Hx:Hx + 1] / corner_scale, im[1:Hx]], 0)
+
+
+def _unpack_plane(re, im, corner_scale):
+    """Inverse of `_pack_plane`: canonical real (Nx, Ny) plane."""
+    Nx, Ny = re.shape[:2]
+    Hx, Hy = Nx // 2, Ny // 2
+    l0 = _unpack_line(re[:, 0], im[:, 0], Hx, corner_scale)
+    lH = _unpack_line(re[:, Hy], im[:, Hy], Hx, corner_scale)
+    return jnp.concatenate([l0[:, None], re[:, 1:Hy], lH[:, None],
+                            im[:, 1:Hy]], 1)
 
 
 def cgh2rg(meshk, norm="backward"):
     """Complex Gaussian Hermitian tensor -> real Gaussian tensor (inverse of
-    `rg2cgh`, also a single gather).
+    `rg2cgh`; slices/flips/concats only).
 
     norm='amp' assigns to each real cell the real part of the coefficient it
     feeds (same amplitude for both real- and imag-part cells) — the transport
     of a per-mode std field into real packing.
     """
     shape = ch2rshape(meshk.shape)
-    plan = _repack_plan(tuple(shape))
-    re = meshk.real.reshape(-1)
-    if norm == "amp":
-        out = re[plan["inv_src"]]
-        return out.reshape(shape)
-    im = meshk.imag.reshape(-1)
-    w = _base_weight(shape, norm)
-    inv_w = np.where(plan["inv_selfc"], 1 / (w * 2**0.5), 1 / w).astype(re.dtype)
-    out = jnp.where(plan["inv_part"], im[plan["inv_src"]], re[plan["inv_src"]]) * inv_w
-    return out.reshape(shape)
+    Nx, Ny, Nz = shape
+    Hz = Nz // 2
+    amp = norm == "amp"
+    corner_scale = 1.0 if amp else 2**0.5
 
+    if amp:
+        re = meshk.real
+        im = meshk.real
+        w = 1.0
+    else:
+        w = _base_weight(shape, norm)
+        re = meshk.real / w
+        im = meshk.imag / w
 
-def jax_complex(re, im):
-    return re + 1j * im
+    p0 = _unpack_plane(re[:, :, 0], im[:, :, 0], corner_scale)
+    pH = _unpack_plane(re[:, :, Hz], im[:, :, Hz], corner_scale)
+    # reassemble z order: [plane0, bulk_re(1..Hz-1), planeH, bulk_im(Hz+1..)]
+    return jnp.concatenate([p0[:, :, None], re[:, :, 1:Hz], pH[:, :, None],
+                            im[:, :, 1:Hz]], 2)
 
 
 # ----------------------------------------------------------------------- resampling
@@ -244,27 +339,30 @@ def chreshape(mesh, shape):
             folded = (jnp.take(mesh, pos, axis=ax) + jnp.take(mesh, neg, axis=ax)) / 2**0.5
             mesh = mesh.at[(slice(None),) * ax + (neg,)].set(folded)
 
-    # 2) centered crop (gather) then centered pad (scatter), positive
-    #    frequencies at the start, negative at the end, per axis
-    def keep_idx(ms, s, last):
-        if last:
-            return np.arange(min(ms, s))
-        k = min(ms, s)
-        return np.concatenate([np.arange(k // 2), ms - k // 2 + np.arange(k // 2)])
-
-    def dest_idx(ms, s, last):
-        if last:
-            return np.arange(min(ms, s))
-        k = min(ms, s)
-        return np.concatenate([np.arange(k // 2), s - k // 2 + np.arange(k // 2)])
-
-    src = tuple(keep_idx(in_shape[ax], shape[ax], ax == ndim - 1) for ax in range(ndim))
-    dst = tuple(dest_idx(in_shape[ax], shape[ax], ax == ndim - 1) for ax in range(ndim))
-    cropped = mesh[np.ix_(*src)]
-    if all(shape[ax] <= in_shape[ax] for ax in range(ndim)):
-        out = cropped
-    else:
-        out = jnp.zeros(shape, dtype=mesh.dtype).at[np.ix_(*dst)].set(cropped)
+    # 2) centered crop / pad, one axis at a time with slices + concats
+    #    (contiguous copies; positive frequencies first, negative last)
+    out = mesh
+    for ax in range(ndim):
+        ms, s = out.shape[ax], shape[ax]
+        if s == ms:
+            continue
+        if ax == ndim - 1:
+            if s < ms:
+                out = lax_slice_axis(out, 0, s, ax)
+            else:
+                pad_shape = list(out.shape)
+                pad_shape[ax] = s - ms
+                out = jnp.concatenate(
+                    [out, jnp.zeros(pad_shape, out.dtype)], ax)
+        elif s < ms:
+            out = jnp.concatenate([lax_slice_axis(out, 0, s // 2, ax),
+                                   lax_slice_axis(out, ms - s // 2, None, ax)], ax)
+        else:
+            pad_shape = list(out.shape)
+            pad_shape[ax] = s - ms
+            out = jnp.concatenate([lax_slice_axis(out, 0, ms // 2, ax),
+                                   jnp.zeros(pad_shape, out.dtype),
+                                   lax_slice_axis(out, ms // 2, None, ax)], ax)
 
     # 3) split Nyquist planes of padded axes
     for ax in range(ndim):

@@ -96,6 +96,38 @@ def read(pos, mesh, order: int = 2, kernel_type="rectangular", oversamp=1.0):
     return out
 
 
+def read_multi(pos, meshes, order: int = 2, kernel_type="rectangular",
+               oversamp=1.0):
+    """Gather SEVERAL meshes at the same positions with one row-gather per
+    stencil shift.
+
+    TPU-native: fields are interleaved cell-major (shape (X, Y, Z, C)) so each
+    gathered index fetches C contiguous floats — on TPU a C-row gather costs
+    about the same as a scalar gather, so C fused reads cost ~1 read.
+
+    meshes : list/tuple of (X,Y,Z) arrays or one (X,Y,Z,C) array.
+    Returns (..., C) values at the positions.
+    """
+    if isinstance(meshes, (list, tuple)):
+        meshes = jnp.stack(meshes, axis=-1)
+    shape = tuple(int(s) for s in meshes.shape[:-1])
+    C = meshes.shape[-1]
+    kernel = _window_fn(order, kernel_type, oversamp)
+    round_fn = jnp.round if order % 2 else jnp.floor
+    id0 = round_fn(pos).astype(jnp.int32)
+    shifts = _stencil(shape, order)
+    flat = meshes.reshape(-1, C)
+
+    def step(carry, shift):
+        idx = id0 + shift
+        ker = kernel(idx - pos).prod(-1)
+        return carry + flat[_flat_wrapped(idx, shape)] * ker[..., None], None
+
+    out = lax.scan(step, jnp.zeros(pos.shape[:-1] + (C,), dtype=meshes.dtype),
+                   shifts)[0]
+    return out
+
+
 def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
               interlace_order: int = 2, kernel_type="rectangular",
               paint_oversamp: float = 1.0):
@@ -115,7 +147,7 @@ def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
         carry += jnp.fft.rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
         return carry, None
 
-    out = jnp.zeros(r2chshape(shape), dtype=jnp.result_type(pos.dtype, complex))
+    out = jnp.zeros(r2chshape(shape), dtype=jnp.result_type(pos.dtype, jnp.complex64))
     return lax.scan(step, out, shifts)[0]
 
 

@@ -25,7 +25,7 @@ from montecosmo_tpu.ops.fourier import (
     bspline_hat, gaussian_hat, gradient_hat, invlaplace_hat, rfftk,
 )
 from montecosmo_tpu.ops.hermitian import ch2rshape
-from montecosmo_tpu.ops.paint import paint, read
+from montecosmo_tpu.ops.paint import paint, read, read_multi
 
 
 def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
@@ -50,9 +50,12 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     if kcut != np.inf:
         pot *= gaussian_hat(kvec, kcut)
 
-    return jnp.stack(
-        [read(pos, jnp.fft.irfftn(-gradient_hat(kvec, i, grad_fd) * pot), read_order)
+    # fuse the 3 component reads into one row-gather (TPU: ~3x fewer
+    # random-access passes)
+    grads = jnp.stack(
+        [jnp.fft.irfftn(-gradient_hat(kvec, i, grad_fd) * pot)
          for i in range(len(kvec))], axis=-1)
+    return read_multi(pos, grads, read_order)
 
 
 def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf):

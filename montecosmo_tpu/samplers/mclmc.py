@@ -62,7 +62,7 @@ def _momentum_update(u, grad_flat, sqrt_invmm, step_size):
     """Exact isokinetic (ESH) momentum bounce; returns (u', dKE)."""
     d = u.shape[0]
     g = grad_flat * sqrt_invmm
-    gnorm = jnp.linalg.norm(g)
+    gnorm = jnp.maximum(jnp.linalg.norm(g), 1e-30)
     e = g / gnorm
     delta = step_size * gnorm / (d - 1)
     c = u @ e
@@ -180,18 +180,25 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
                 params.step_size)
 
             xi = energy_change**2 / (d * desired_energy_var) + 1e-8
-            w = jnp.exp(-0.5 * (jnp.log(xi) / (6.0 * trust_in_estimate))**2)
+            log_xi = jnp.log(xi)
+            valid = jnp.isfinite(log_xi)  # guarded bad steps carry xi = inf
+            log_xi = jnp.where(valid, log_xi, 0.0)
+            w = jnp.where(valid,
+                          jnp.exp(-0.5 * (log_xi / (6.0 * trust_in_estimate))**2),
+                          0.0)
             # per-step estimate of the optimal step size (2nd-order
             # integrator: squared energy error ~ eps^6), averaged in LOG space
             # with forgetting — bounded influence of early transients
-            log_eps_hat = jnp.log(params.step_size) - jnp.log(xi) / 6.0
+            log_eps_hat = jnp.log(params.step_size) - log_xi / 6.0
             F = gamma * F + w * log_eps_hat
             W = gamma * W + w
             step_size = jnp.exp(F / jnp.maximum(W, 1e-12))
             step_size = jnp.minimum(step_size, step_size_max)
             params = params._replace(step_size=step_size)
-            # arithmetic mean of xi at the current eps (for the final rescale)
-            xi_avg = gamma * xi_avg[0] + jnp.minimum(xi, 1e3), gamma * xi_avg[1] + 1.0
+            # arithmetic mean of xi at the current eps (for the final rescale);
+            # guarded steps count as the cap (the step was too large)
+            xi_avg = (gamma * xi_avg[0] + jnp.where(valid, jnp.minimum(xi, 1e3), 1e3),
+                      gamma * xi_avg[1] + 1.0)
 
             if stream_moments:
                 x, _ = _ravel(state.position)

@@ -44,6 +44,15 @@ def yload(path):
         return yaml.safe_load(f)
 
 
+def to_np(x):
+    """Device array -> numpy, transferring complex arrays as separate
+    real/imag parts (the TPU runtime cannot transfer complex buffers
+    directly)."""
+    if hasattr(x, "dtype") and np.issubdtype(x.dtype, np.complexfloating):
+        return np.asarray(x.real) + 1j * np.asarray(x.imag)
+    return np.asarray(x)
+
+
 # ----------------------------------------------------------------------------- hdf5
 def h5save(path, data: dict):
     """Save a (possibly nested) dict to HDF5.
@@ -60,8 +69,13 @@ def h5save(path, data: dict):
                 continue
             if isinstance(v, dict):
                 write(grp.create_group(k), v)
+            elif isinstance(v, (str, bytes, bool, int, float)):
+                grp[k] = v
             else:
-                grp[k] = np.asarray(v) if not isinstance(v, (str, bytes, bool, int, float)) else v
+                arr = to_np(v)
+                if arr.dtype.kind == "U":  # h5py has no unicode-array path
+                    arr = arr.astype("S")
+                grp[k] = arr
 
     with h5py.File(str(path), "w") as f:
         write(f, data)
@@ -106,7 +120,7 @@ def h5save_tree(path, tree):
             return {k: to_dict(v) for k, v in x._asdict().items()}
         if isinstance(x, dict):
             return {k: to_dict(v) for k, v in x.items()}
-        return np.asarray(x)
+        return to_np(x)
 
     h5save(path, to_dict(tree))
 

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Field-level inference campaign on a registered mock.
+
+Parity: reference `run/infer.py` — the same 3-phase pipeline (field warmup,
+full warmup, full run) with file-based idempotent resume, provenance capture
+and persistent compilation cache, driven by argparse instead of editing
+__main__ blocks.
+
+Usage:
+  python run/infer.py --register registered/register_synthetic_*.h5 \
+      --evolution lpt --lik-type quad_gauss --self-data --n-chains 4
+"""
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
+          self_data=False, fnl=0.0, expe="", overwrite=False, obs_names=(),
+          n_chains=4, tune_mass=True, n_steps_field=2**12, dev_field=1e-5,
+          n_steps_full=2**13, dev_full=1e-7, n_samples=None, n_runs=8,
+          thinning=64, scale_fid_fac=1.0, save_root="results"):
+    from jax import config as jconfig, devices as jdevices, numpy as jnp
+
+    from montecosmo_tpu import FieldLevelModel, default_config
+    from montecosmo_tpu.script import (
+        field_warmup, full_run, full_warmup, make_chains, plot_field_warmup,
+    )
+    from montecosmo_tpu.utils.io import h5save
+
+    # -------------------------------------------------- fiducial and model
+    fiduc = {
+        "b1": 1.0, "b2": 0.0, "bs2": 0.0, "b3": 0.0, "bds2": 0.0, "bs3": 0.0,
+        "bn2": 0.0, "bnpar": 0.0,
+        "fNL": fnl, "fNL_bp": 0.0, "fNL_bpd": 0.0, "fNL_bpd2": 0.0,
+        "fNL_bps2": 0.0, "fNL_bn2p": 0.0,
+        "s_e": 1.0, "s_k2e": 0.0, "s_kmu2e": 0.0,
+        "s_ed": 0.0, "s_e2": 0.0, "s_ep": 0.0,
+        "alpha_iso": 1.0, "alpha_ap": 1.0,
+    }
+    latents = FieldLevelModel.new_latents_from_loc(
+        default_config["latents"], fiduc, update_prior=True)
+    for name in fiduc:
+        latents[name] = latents[name] | {
+            "scale_fid": latents[name]["scale_fid"] * scale_fid_fac}
+
+    model = FieldLevelModel(**default_config | {
+        "evolution": evolution, "lik_type": lik_type, "png_type": png_type,
+        "register": str(register), "latents": latents, "n_rbins": 1})
+
+    # -------------------------------------------------- save dir + provenance
+    mesh_length = int(round(np.prod(model.final_shape) ** (1 / 3)))
+    tag = Path(register).stem.replace("register_", "")
+    folder = (f"{tag}_{evolution}_{mesh_length}_fNL{fnl:.0f}"
+              + ("_fourier" if lik_type == "fourier_gauss" else "")
+              + ("_self" if self_data else "") + (f"_{expe}" if expe else ""))
+    save_dir = Path(save_root) / folder
+    chains_dir = save_dir / "chains"
+    chains_dir.mkdir(parents=True, exist_ok=True)
+
+    print(f"SAVE DIR: {save_dir}")
+    log = open(save_dir / "run.out", "a", buffering=1)
+    sys.stdout = sys.stderr = log
+    print(f"Started on {os.environ.get('HOSTNAME')} at "
+          f"{datetime.now().astimezone().isoformat()}")
+    shutil.copy(__file__, save_dir / Path(__file__).name)
+    commit = subprocess.run(
+        ["git", "-C", str(Path(__file__).resolve().parent), "rev-parse", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
+    print(f"montecosmo_tpu commit: {commit}")
+    print("\n", jdevices())
+
+    # persistent compilation cache (valuable on TPU: first compile ~minutes)
+    jconfig.update("jax_compilation_cache_dir", str(save_dir / "jax_cache"))
+    jconfig.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jconfig.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    print(model)
+
+    if self_data:
+        print("\nSelf-predicting synthetic data from the fiducial loc...")
+        pred = model.predict(
+            samples=model.fiduc | {"white_mesh": model.white_mesh},
+            hide_base=False, hide_samp=False, from_base=True)
+        model.count_mesh = pred["count_mesh"]
+        del pred
+
+    model.save(save_dir / "model.yaml")
+    logpdf_fid = model.logpdf(model.reparam(
+        model.fiduc | {"white_mesh": model.white_mesh,
+                       "count_mesh": model.count_mesh}, inv=True))
+    print("logpdf of fiduc:", logpdf_fid, "\n")
+    if not np.isfinite(float(logpdf_fid)):
+        raise ValueError("fiducial logpdf is infinite or nan")
+
+    # -------------------------------------------------- inference
+    params = model.fiduc | {"white_mesh": model.white_mesh,
+                            "count_mesh": model.count_mesh}
+    obs = {k: params[k] for k in obs_names}
+    h5save(save_dir / "obs.h5", obs)
+    print(f"Inferring: {sorted(set(params) - set(obs))}")
+    if n_samples is None:
+        n_samples = 128 * 64 // mesh_length
+    print(f"n_samples: {n_samples}, n_runs: {n_runs}, n_chains: {n_chains}, "
+          f"tune_mass: {tune_mass}")
+
+    if "white_mesh" not in obs:
+        state, config, params_start = field_warmup(
+            model, chains_dir, n_steps=n_steps_field,
+            desired_energy_var=dev_field, n_chains=n_chains,
+            overwrite=overwrite)
+        plot_field_warmup(model, params_start, state, save_dir)
+    else:
+        state = None
+
+    state, config = full_warmup(
+        model, obs, state, chains_dir, n_steps=n_steps_full,
+        desired_energy_var=dev_full, n_chains=n_chains, tune_mass=tune_mass,
+        overwrite=overwrite)
+
+    full_run(model, state, config, chains_dir, n_samples=n_samples,
+             n_runs=n_runs, n_chains=n_chains, thinning=thinning,
+             overwrite=overwrite)
+
+    make_chains(save_dir, start=1, end=100)
+    print(f"Finished at {datetime.now().astimezone().isoformat()}")
+
+
+DEFAULT_OBS = [
+    "count_mesh", "alpha_iso", "alpha_ap", "Omega_m", "sigma8",
+    "b3", "bds2", "bs3", "bn2", "bnpar",
+    "fNL_bpd2", "fNL_bps2", "fNL_bn2p", "s_e", "s_ed", "s_e2", "s_ep",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--register", required=True)
+    ap.add_argument("--png-type", default=None, choices=[None, "fNL", "bias"])
+    ap.add_argument("--lik-type", default="quad_gauss")
+    ap.add_argument("--evolution", default="lpt",
+                    choices=["kaiser", "lpt", "nbody"])
+    ap.add_argument("--self-data", action="store_true")
+    ap.add_argument("--fnl", type=float, default=0.0)
+    ap.add_argument("--expe", default="")
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--obs", nargs="*", default=None,
+                    help="base latents to observe (others are inferred)")
+    ap.add_argument("--n-chains", type=int, default=4)
+    ap.add_argument("--no-tune-mass", action="store_true")
+    ap.add_argument("--n-steps-field", type=int, default=2**12)
+    ap.add_argument("--n-steps-full", type=int, default=2**13)
+    ap.add_argument("--n-samples", type=int, default=None)
+    ap.add_argument("--n-runs", type=int, default=8)
+    ap.add_argument("--thinning", type=int, default=64)
+    ap.add_argument("--save-root", default="results")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu); the JAX_PLATFORMS "
+                         "env var is ignored when a TPU plugin is present")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    obs_names = list(args.obs) if args.obs is not None else list(DEFAULT_OBS)
+    if args.lik_type == "fourier_gauss":
+        obs_names += ["s_ed", "s_e2", "s_ep"]
+    else:
+        obs_names += ["s_k2e", "s_kmu2e"]
+    if args.png_type == "fNL":
+        obs_names += ["fNL_bp", "fNL_bpd"]
+    if args.png_type is None:
+        obs_names += ["fNL", "fNL_bp", "fNL_bpd", "fNL_bpd2", "fNL_bps2",
+                      "fNL_bn2p"]
+
+    infer(args.register, png_type=args.png_type, lik_type=args.lik_type,
+          evolution=args.evolution, self_data=args.self_data, fnl=args.fnl,
+          expe=args.expe, overwrite=args.overwrite,
+          obs_names=sorted(set(obs_names)), n_chains=args.n_chains,
+          tune_mass=not args.no_tune_mass, n_steps_field=args.n_steps_field,
+          n_steps_full=args.n_steps_full, n_samples=args.n_samples,
+          n_runs=args.n_runs, thinning=args.thinning, save_root=args.save_root)
+
+
+if __name__ == "__main__":
+    main()
