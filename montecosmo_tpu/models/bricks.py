@@ -455,12 +455,17 @@ def eulerian_bias(matter_mesh, phi_mesh, box_size, bias, png, png_type=None):
 # ======================================================================= lattices / geometry
 def regular_pos(mesh_shape: tuple, ptcl_shape: tuple = None):
     """Regular particle lattice in cell coordinates (ptcl_shape may be coarser
-    than mesh_shape)."""
+    than mesh_shape).
+
+    Built from traced iotas, NOT a numpy constant: a 224^3 lattice embedded as
+    a literal is a ~135 MB serialized program (and the TPU compile service
+    rejects oversized programs)."""
     if ptcl_shape is None:
         ptcl_shape = mesh_shape
-    axes = [np.linspace(0, m, p, endpoint=False) for m, p in zip(mesh_shape, ptcl_shape)]
-    pos = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, len(mesh_shape))
-    return jnp.asarray(pos, jnp.float32)
+    axes = [jnp.arange(p, dtype=jnp.float32) * jnp.float32(m / p)
+            for m, p in zip(mesh_shape, ptcl_shape)]
+    grid = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack(grid, axis=-1).reshape(-1, len(mesh_shape))
 
 
 def unif_pos(mesh_shape: tuple, ptcl_shape: tuple = None, seed=42):

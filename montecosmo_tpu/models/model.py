@@ -660,13 +660,16 @@ class FieldLevelModel(Model):
         count_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(gxy_mesh * self.selec_mesh),
                                               r2chshape(self.final_shape)))
         count_mesh = mesh2masked(count_mesh, self.mask_mesh)
-        count_mesh = set_radial_count(count_mesh, self.rmasked, self.redges, rcounts)
+        # radius mesh built in-graph from iotas (an N^3 numpy constant would
+        # bloat the serialized program past the TPU compile upload limit)
+        rmasked = mesh2masked(self.radius_mesh(), self.mask_mesh)
+        count_mesh = set_radial_count(count_mesh, rmasked, self.redges, rcounts)
 
         if np.ndim(self.selec_mesh) == 3:
             selec_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(jnp.asarray(self.selec_mesh)),
                                                   r2chshape(self.final_shape)))
             selec_mesh = mesh2masked(selec_mesh, self.mask_mesh)
-            selec_mesh = set_radial_count(selec_mesh, self.rmasked, self.redges, rcounts)
+            selec_mesh = set_radial_count(selec_mesh, rmasked, self.redges, rcounts)
             selec_mesh = posit_fn(selec_mesh)
         else:
             selec_mesh = jnp.mean(rcounts)
