@@ -411,6 +411,18 @@ class Chains(Samples):
         return infos | jax.tree.map(lambda x: infos[name] / x, rest)
 
     # ------------------------------------------------------------------ reporting
+    def to_getdist(self, label=None):
+        """Export to a getdist MCSamples (when getdist is installed; this
+        environment ships without it — use `to_arrays` + plot.corner_plot)."""
+        try:
+            from getdist import MCSamples
+        except ImportError as e:
+            raise ImportError(
+                "getdist is not installed; use Chains.to_arrays() with "
+                "montecosmo_tpu.plot.corner_plot for native corner plots") from e
+        samples, names, labels = self.to_arrays(label)
+        return MCSamples(samples=samples, names=names, labels=labels, label=label)
+
     def to_arrays(self, label=None):
         """Flattened (samples, names, labels) arrays for corner plotting."""
         samples, names, labels = [], [], []

@@ -284,31 +284,40 @@ def naive_mu2_delta(mesh, los):
     return (mu2_delta * los).sum(-1)
 
 
+def _y2_cartesian(u):
+    """The five real l=2 spherical harmonics of a unit vector field
+    (..., 3) in closed cartesian form — traceable (no scipy/lpmv)."""
+    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    c15 = 0.5 * np.sqrt(15 / np.pi)
+    c5 = 0.25 * np.sqrt(5 / np.pi)
+    return (c15 * x * y,                      # m = -2
+            c15 * y * z,                      # m = -1
+            c5 * (3 * z**2 - 1),              # m = 0 (unit vector)
+            c15 * z * x,                      # m = +1
+            0.5 * c15 * (x**2 - y**2))        # m = +2
+
+
 def optim_mu2_delta(mesh, los):
     """mu^2-weighted field via the Y_2m decomposition of mu^2 (6 FFTs):
     mu^2 = 1/3 + 8pi/15 sum_m Y_2m(k-hat) Y_2m(r-hat)  (cf. Hand+2017).
 
-    Returns (delta, mu2_delta) in real space.
+    los : per-cell unit line-of-sight field (..., 3); may be traced (the
+    light-cone makes it cosmology-dependent).  Returns (delta, mu2_delta) in
+    real space.
     """
-    from montecosmo_tpu.utils.geometry import cart2radecrad
-
     mesh_shape = ch2rshape(mesh.shape)
     kvec = rfftk(mesh_shape)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+    khat = jnp.stack(
+        [safe_div(jnp.broadcast_to(ki, mesh.shape), kmesh) for ki in kvec], -1)
 
-    ra, dec, _ = cart2radecrad(np.asarray(los))
-    phi = np.deg2rad(np.asarray(ra)).reshape(-1)
-    theta = np.deg2rad(90.0 - np.asarray(dec)).reshape(-1)
-
-    kra, kdec, _ = cart2radecrad(np.stack(np.broadcast_arrays(*kvec), -1))
-    kphi = np.deg2rad(np.asarray(kra)).reshape(-1)
-    ktheta = np.deg2rad(90.0 - np.asarray(kdec)).reshape(-1)
+    ylos = _y2_cartesian(jnp.asarray(los))
+    yk = _y2_cartesian(khat)
 
     delta = jnp.fft.irfftn(mesh)
     mu2_delta = delta / 3
-    for m in range(-2, 3):
-        ylos = real_sph_harm(2, m, theta, phi).reshape(mesh_shape)
-        yk = real_sph_harm(2, m, ktheta, kphi).reshape(mesh.shape)
-        mu2_delta += 8 * np.pi / 15 * ylos * jnp.fft.irfftn(yk * mesh)
+    for yl, ykm in zip(ylos, yk):
+        mu2_delta += 8 * np.pi / 15 * yl * jnp.fft.irfftn(ykm * mesh)
     return delta, mu2_delta
 
 

@@ -864,8 +864,14 @@ class FieldLevelModel(Model):
         fiducial Kaiser SNR; transfer renormalizes to unit-power white noise.
         """
         if self.precond in ("real", "fourier"):
+            # unit sampling scale per real dof; transfer only renormalizes to
+            # unit-power white noise.  (The reference applies its Hermitian
+            # amp-repack to a REAL-shaped ones array here, which only works
+            # because it never runs precond != 'kaiser'.)
             scale = jnp.ones(self.init_shape)
-        elif self.precond == "kaiser":
+            transfer = np.prod(np.divide(self.init_shape, self.box_size)) ** 0.5
+            return scale, jnp.asarray(transfer)
+        if self.precond == "kaiser":
             b1E_fid = b1_L2E(float(np.mean(self.fiduc["b1"])))
             boost_fid = kaiser_boost(self.cosmo_fid, self.a_fid, self.init_shape,
                                      self.box_size, b1E_fid, los=self.los_fid,

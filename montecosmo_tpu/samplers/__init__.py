@@ -10,3 +10,4 @@ from montecosmo_tpu.samplers.hmc import (
     get_init_state,
 )
 from montecosmo_tpu.samplers.optimize import optimize
+from montecosmo_tpu.samplers.runner import sample_and_save, save_run

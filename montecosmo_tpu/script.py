@@ -30,6 +30,7 @@ from montecosmo_tpu.samplers import (
     IntegratorState, MCLMCAdaptationState, get_mclmc_run, get_mclmc_warmup,
 )
 from montecosmo_tpu.utils.io import h5load, h5load_tree, h5save, h5save_tree
+from montecosmo_tpu.utils.profiling import phase
 
 
 def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
@@ -58,7 +59,8 @@ def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
             model.logpdf, n_steps=n_steps, config=None,
             desired_energy_var=desired_energy_var,
             diagonal_preconditioning=False), n_chains)
-        state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_start)
+        with phase("field_warmup"):
+            state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_start)
         h5save_tree(state_path, state)
         h5save_tree(conf_path, config)
     else:
@@ -133,7 +135,8 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             model.logpdf, n_steps=n_steps, config=None,
             desired_energy_var=desired_energy_var,
             diagonal_preconditioning=tune_mass), n_chains)
-        state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_warm)
+        with phase("full_warmup"):
+            state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_warm)
         print_mclmc_config(config, state)
 
         ss = jnp.median(config.step_size)
@@ -179,7 +182,8 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
     for i_run in range(start, n_runs + 1):
         print(f"run {i_run}/{n_runs}")
         key, run_key = jr.split(key, 2)
-        state, samples = run_fn(jr.split(run_key, n_chains), state, config)
+        with phase("full_run"):
+            state, samples = run_fn(jr.split(run_key, n_chains), state, config)
 
         print("MSE per dim:", np.asarray(jnp.mean(samples["mse_per_dim"], 1)), "\n")
         h5save(chains_dir / f"run_{i_run}.h5",

@@ -18,6 +18,13 @@ import jax
 
 jax.config.update("jax_platforms", os.environ.get("MONTECOSMO_TEST_PLATFORM", "cpu"))
 
+# persistent compilation cache: the model-layer tests are compile-dominated
+# (~2 min per jitted phase on CPU); repeated runs hit the cache
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np
 import pytest
 
