@@ -566,9 +566,13 @@ class FieldLevelModel(Model):
                                        bg, self.a_obs, self.curved_sky)
 
             # Lagrangian bias weights at initial particle positions
-            lbe_weights, dvel, phi = lagrangian_bias(
-                cosmology, pos, a, self.box_size, init_mesh, bias, png,
-                png_type=self.png_type, kpow=self.lin_kpow, read_order=1, bg=bg)
+            # (remat: ~10 operator meshes otherwise stay live for the
+            # backward pass — at 448^3 that alone is ~3.6 GB)
+            lbe_weights, dvel, phi = jax.checkpoint(
+                lambda im, b, p: lagrangian_bias(
+                    cosmology, pos, a, self.box_size, im, b, p,
+                    png_type=self.png_type, kpow=self.lin_kpow, read_order=1,
+                    bg=bg))(init_mesh, bias, png)
             if self.bias_type == "eulerian":
                 phi_pos = read(pos, phi, order=1) if self.png_type is not None else 0.0
 
@@ -579,8 +583,9 @@ class FieldLevelModel(Model):
                                       r2chshape(self.evol_shape))
 
             if self.evolution == "lpt":
-                dpos, vel = lpt(bg, init_mesh, pos=pos, a=a,
-                                lpt_order=self.lpt_order, read_order=1)
+                dpos, vel = jax.checkpoint(
+                    lambda im: lpt(bg, im, pos=pos, a=a,
+                                   lpt_order=self.lpt_order, read_order=1))(init_mesh)
                 pos = pos + dpos
                 pos, vel = ppl.deterministic("lpt_ptcl", jnp.stack((pos, vel)))
 
