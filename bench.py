@@ -45,6 +45,12 @@ def build(final=128):
 def main(final=128, n_warmup=2, n_iter=10):
     import jax
 
+    # persistent compilation cache: big-mesh compiles through the TPU tunnel
+    # take tens of minutes; repeat runs reuse them
+    jax.config.update("jax_compilation_cache_dir", "/tmp/montecosmo_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     step, params = build(final)
     # compile + warmup
     for _ in range(n_warmup):

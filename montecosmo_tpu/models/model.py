@@ -565,10 +565,13 @@ class FieldLevelModel(Model):
                                        self.box_size, self.evol_shape,
                                        bg, self.a_obs, self.curved_sky)
 
-            # Lagrangian bias weights at initial particle positions
-            # (remat: ~10 operator meshes otherwise stay live for the
-            # backward pass — at 448^3 that alone is ~3.6 GB)
-            lbe_weights, dvel, phi = jax.checkpoint(
+            # Lagrangian bias weights at initial particle positions.
+            # For large meshes, rematerialize: ~10 operator meshes otherwise
+            # stay live for the backward pass (at 448^3 that alone is ~3.6 GB);
+            # below that, recompute costs more than it saves (~4% at 112^3).
+            use_remat = np.prod(self.evol_shape) > 4_000_000
+            maybe_ckpt = jax.checkpoint if use_remat else (lambda f: f)
+            lbe_weights, dvel, phi = maybe_ckpt(
                 lambda im, b, p: lagrangian_bias(
                     cosmology, pos, a, self.box_size, im, b, p,
                     png_type=self.png_type, kpow=self.lin_kpow, read_order=1,
@@ -583,7 +586,7 @@ class FieldLevelModel(Model):
                                       r2chshape(self.evol_shape))
 
             if self.evolution == "lpt":
-                dpos, vel = jax.checkpoint(
+                dpos, vel = maybe_ckpt(
                     lambda im: lpt(bg, im, pos=pos, a=a,
                                    lpt_order=self.lpt_order, read_order=1))(init_mesh)
                 pos = pos + dpos
