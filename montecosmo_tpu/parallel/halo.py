@@ -64,6 +64,9 @@ def halo_paint_local(pos, shape, weights=1.0, order=2, axis_name="mesh",
     p = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     nx_local = shape[0] // p
+    assert halo <= nx_local, (
+        f"halo ({halo}) must not exceed the local slab width ({nx_local}): "
+        "faces would wrap past the nearest neighbor")
     local_shape = (nx_local + 2 * halo, shape[1], shape[2])
 
     kernel = _window_fn(order, kernel_type, oversamp)
