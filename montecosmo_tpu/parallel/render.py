@@ -13,8 +13,11 @@ without ever materializing a full mesh on one device.  Lattice particles are
 slab-owned by construction; the paint halo must cover the largest
 displacement (asserted by `max_disp`).
 
-Round-2 extensions: 2LPT source term, BullFrog stepping (halo resort between
-kicks), and the full bias/RSD observable layer on the sharded layout.
+`sharded_bullfrog_steps` extends this with decomposed PM gravity: each DKD
+step is halo paint -> pencil Poisson -> halo read, valid while particles stay
+within `halo` cells of their owning slab.  Round-2 extensions: 2LPT source
+term, periodic particle resort (all_to_all exchange) for long integrations,
+and the full bias/RSD observable layer on the sharded layout.
 """
 from functools import partial
 
@@ -32,13 +35,31 @@ from montecosmo_tpu.parallel.halo import halo_paint_local
 from montecosmo_tpu.utils.safe import safe_div
 
 
+def _delta2_local(pot, kvec, axis_name):
+    """2LPT source delta2 = sum_{i<j} (h_ii h_jj - h_ij^2) of the potential
+    Hessian, on the pencil layout (6 pencil irfftns).  Mirrors the fused
+    running-sum form of `ops.pm.pm_forces2`."""
+    delta2 = 0.0
+    diag_sum = 0.0
+    for i in range(3):
+        h_ii = _pencil_irfftn_local(gradient_hat(kvec, i) ** 2 * pot, axis_name)
+        delta2 += h_ii * diag_sum
+        diag_sum += h_ii
+        for j in range(i + 1, 3):
+            h_ij = gradient_hat(kvec, i) * gradient_hat(kvec, j)
+            delta2 -= _pencil_irfftn_local(h_ij * pot, axis_name) ** 2
+    return delta2
+
+
 def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
                               pow_interp, axis_name="mesh", halo=8,
-                              paint_order=2):
-    """Zel'dovich-evolved density from an X-sharded real white-noise mesh.
+                              paint_order=2, lpt_order=1):
+    """LPT-evolved density from an X-sharded real white-noise mesh.
 
     white      : (X, Y, Z) real unit-variance white noise, X-sharded.
     pow_interp : callable k -> P(k) [(Mpc/h)^3] (e.g. ops.power.lin_power_interp).
+    lpt_order  : 1 (Zel'dovich) or 2 (adds the delta2 displacement via 6
+                 Hessian + 1 forward + 3 gradient pencil FFTs).
     Returns the painted (1 + delta) mesh, X-sharded.
     """
     rshape = tuple(int(s) for s in white.shape)
@@ -66,6 +87,18 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
             / jnp.asarray(cell[i], local.dtype)
             for i in range(3)]  # h/Mpc kernels -> cell-unit displacement
 
+        if lpt_order == 2:
+            delta2 = _delta2_local(pot, kvec, axis_name)
+            pot2 = _pencil_rfftn_local(delta2, axis_name) * invlaplace_hat(kvec)
+            growth2 = bg.a2g2(jnp.asarray(a))
+            grads2 = [
+                _pencil_irfftn_local(-gradient_hat(kvec, i) * pot2, axis_name)
+                / jnp.asarray(cell[i], local.dtype)
+                for i in range(3)]
+            # dpos = D1 * force1 - D2 * force2  (ops.pm.lpt convention)
+            grads = [g - (growth2 / growth) * g2
+                     for g, g2 in zip(grads, grads2)]
+
         # ---- slab-owned lattice particles displaced by the local force
         nx_local = X // p
         x0 = (idx * nx_local).astype(jnp.float32)
@@ -83,3 +116,60 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
                        in_specs=P(axis_name, None, None),
                        out_specs=P(axis_name, None, None))
     return fn(white)
+
+
+def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
+                            halo=4):
+    """PM forces at slab-owned particle positions, fully decomposed (call
+    inside shard_map): halo paint -> pencil Poisson -> 3 pencil gradient
+    irfftns -> halo read.  Cell-unit kernels (matches `ops.pm.pm_forces`
+    painting from a tuple)."""
+    from montecosmo_tpu.parallel.halo import halo_read_local
+
+    dens = halo_paint_local(pos, rshape, weights=1.0, order=paint_order,
+                            axis_name=axis_name, halo=halo)
+    k = _pencil_rfftn_local(dens, axis_name)
+    kvec = pencil_rfftk(rshape, None, axis_name)  # cell units
+    pot = k * invlaplace_hat(kvec)
+    forces = []
+    for i in range(3):
+        g = _pencil_irfftn_local(-gradient_hat(kvec, i) * pot, axis_name)
+        forces.append(halo_read_local(pos, g, order=paint_order,
+                                      axis_name=axis_name, halo=halo))
+    return jnp.stack(forces, -1)
+
+
+def sharded_bullfrog_steps(pos, vel, bg: Background, g0, g1, n_steps, rshape,
+                           mesh: Mesh, axis_name="mesh", paint_order=2, halo=4):
+    """n BullFrog drift-kick-drift steps on the decomposed layout.
+
+    pos, vel : (P, 3) global cell coordinates/velocities, leading axis sharded
+    by slab ownership.  Valid while every particle stays within `halo` cells
+    of its owning slab (small steps / small displacements); a periodic global
+    resort (all_to_all particle exchange) is the round-2 extension for long
+    integrations.
+    """
+    from montecosmo_tpu.ops.pm import alpha_bullfrog
+
+    dg = (g1 - g0) / n_steps
+    gs = g0 + dg * jnp.arange(n_steps)
+
+    def body(pos, vel):
+        def step(state, gstep):
+            pos, vel = state
+            pos = pos + vel * (dg / 2)
+            forces = sharded_pm_forces_local(pos, rshape, axis_name,
+                                             paint_order, halo)
+            alpha = alpha_bullfrog(bg, gstep, dg)
+            gmid = gstep + dg / 2
+            vel = alpha * vel + (1 - alpha) * forces / gmid
+            pos = pos + vel * (dg / 2)
+            return (pos, vel), None
+
+        (pos, vel), _ = lax.scan(step, (pos, vel), gs)
+        return pos, vel
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name)),
+                       out_specs=(P(axis_name), P(axis_name)))
+    return fn(pos, vel)

@@ -16,7 +16,7 @@ SHAPE = (32, 16, 16)
 BOX = np.array([400.0, 200.0, 200.0])
 
 
-def reference_density(white, bg, pow_fn, a):
+def reference_density(white, bg, pow_fn, a, lpt_order=1):
     """Single-device version of the same pipeline."""
     k = jnp.fft.rfftn(white)
     kvec = rfftk(SHAPE, BOX)
@@ -28,9 +28,26 @@ def reference_density(white, bg, pow_fn, a):
     cell = np.divide(BOX, SHAPE)
     grads = [jnp.fft.irfftn(-gradient_hat(kvec, i) * pot) / cell[i]
              for i in range(3)]
+    disp = float(bg.a2g(a)) * jnp.stack(grads, -1)
+
+    if lpt_order == 2:
+        delta2 = 0.0
+        diag_sum = 0.0
+        for i in range(3):
+            h_ii = jnp.fft.irfftn(gradient_hat(kvec, i) ** 2 * pot)
+            delta2 += h_ii * diag_sum
+            diag_sum += h_ii
+            for j in range(i + 1, 3):
+                h_ij = gradient_hat(kvec, i) * gradient_hat(kvec, j)
+                delta2 -= jnp.fft.irfftn(h_ij * pot) ** 2
+        pot2 = jnp.fft.rfftn(delta2) * invlaplace_hat(kvec)
+        grads2 = [jnp.fft.irfftn(-gradient_hat(kvec, i) * pot2) / cell[i]
+                  for i in range(3)]
+        disp -= float(bg.a2g2(a)) * jnp.stack(grads2, -1)
+
     lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
                                      indexing="ij"), -1)
-    pos = (lattice + float(bg.a2g(a)) * jnp.stack(grads, -1)).reshape(-1, 3)
+    pos = (lattice + disp).reshape(-1, 3)
     return paint(pos, SHAPE, order=2)
 
 
@@ -52,3 +69,62 @@ def test_sharded_render_matches_single_device(rng):
                                rtol=1e-3, atol=2e-3)
     # it is a real density field with structure
     assert float(got.std()) > 0.05
+
+
+def test_sharded_render_2lpt_matches_single_device(rng):
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+
+    cosmo = Planck18()
+    bg = Background.create(cosmo)
+    pow_fn = lin_power_interp(cosmo)
+    a = 0.5
+
+    white = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+    got = sharded_zeldovich_density(white, bg, BOX, a, mesh, pow_fn, halo=4,
+                                    lpt_order=2)
+    expect = reference_density(white, bg, pow_fn, a, lpt_order=2)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-3, atol=2e-3)
+    # 2LPT displacement actually differs from Zel'dovich
+    zel = reference_density(white, bg, pow_fn, a, lpt_order=1)
+    assert float(jnp.abs(got - zel).max()) > 1e-3
+
+
+def test_sharded_bullfrog_matches_single_device(rng):
+    """n decomposed BullFrog DKD steps == the single-device `bullfrog_step`
+    scan, for particles that stay within the halo of their owning slab."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from montecosmo_tpu.ops.pm import bullfrog_step
+    from montecosmo_tpu.parallel.render import sharded_bullfrog_steps
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+    bg = Background.create(Planck18())
+
+    # slab-ordered lattice particles (leading axis shardable by ownership)
+    # with small perturbations: drifts stay well inside halo=3 < slab width 4
+    lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
+                                     indexing="ij"), -1).reshape(-1, 3)
+    pos = lattice + 0.3 * jnp.asarray(rng.standard_normal(lattice.shape),
+                                      jnp.float32)
+    vel = 0.5 * jnp.asarray(rng.standard_normal(lattice.shape), jnp.float32)
+
+    g0, g1, n_steps = 0.3, 0.5, 2
+    dg = (g1 - g0) / n_steps
+    gs = g0 + dg * jnp.arange(n_steps)
+    body = bullfrog_step(bg, dg, SHAPE, paint_order=2)
+    (pos_ref, vel_ref), _ = lax.scan(body, (pos, vel), gs)
+
+    spec = NamedSharding(mesh, P("mesh"))
+    got_pos, got_vel = sharded_bullfrog_steps(
+        jax.device_put(pos, spec), jax.device_put(vel, spec), bg,
+        g0, g1, n_steps, SHAPE, mesh, halo=3)
+
+    np.testing.assert_allclose(np.asarray(got_pos), np.asarray(pos_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_vel), np.asarray(vel_ref),
+                               rtol=1e-4, atol=1e-4)
