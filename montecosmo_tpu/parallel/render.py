@@ -119,14 +119,14 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
 
 
 def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
-                            halo=4):
+                            halo=4, weights=1.0):
     """PM forces at slab-owned particle positions, fully decomposed (call
     inside shard_map): halo paint -> pencil Poisson -> 3 pencil gradient
     irfftns -> halo read.  Cell-unit kernels (matches `ops.pm.pm_forces`
     painting from a tuple)."""
     from montecosmo_tpu.parallel.halo import halo_read_local
 
-    dens = halo_paint_local(pos, rshape, weights=1.0, order=paint_order,
+    dens = halo_paint_local(pos, rshape, weights=weights, order=paint_order,
                             axis_name=axis_name, halo=halo)
     k = _pencil_rfftn_local(dens, axis_name)
     kvec = pencil_rfftk(rshape, None, axis_name)  # cell units
@@ -139,15 +139,71 @@ def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
     return jnp.stack(forces, -1)
 
 
+def _resort_local(pos, vel, valid, rshape, axis_name, cap_face):
+    """Neighbor particle exchange (call inside shard_map): re-own particles
+    whose base cell drifted into the next/previous X-slab.
+
+    Fixed-capacity design (static shapes for XLA): each face sends a padded
+    (cap_face, 7) buffer [pos, vel, valid] via `ppermute`; the merged set is
+    compacted back to the local capacity by a valid-first argsort.  Contract:
+    per-resort drift < one slab width (particles that skip a slab are dropped
+    — visible as mass loss, never silent corruption).
+    Returns (pos, vel, valid) with the same shapes.
+    """
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    nx_local = rshape[0] // p
+    span = jnp.asarray(rshape, pos.dtype)
+
+    # wrap periodically; park invalid slots at the slab start so downstream
+    # paint indexing stays in range (their weight is 0 anyway)
+    park = jnp.stack([(idx * nx_local).astype(pos.dtype),
+                      jnp.zeros((), pos.dtype), jnp.zeros((), pos.dtype)])
+    pos = jnp.where(valid[:, None], pos % span, park)
+
+    owner = (jnp.floor(pos[:, 0]).astype(jnp.int32) % rshape[0]) // nx_local
+    shift = (owner - idx) % p
+    stay = valid & (shift == 0)
+    go_up = valid & (shift == 1)
+    go_down = valid & (shift == p - 1)
+
+    def pack(mask):
+        order = jnp.argsort(~mask)[:cap_face]  # True slots first
+        return pos[order], vel[order], mask[order]
+
+    up = [(i, (i + 1) % p) for i in range(p)]
+    down = [(i, (i - 1) % p) for i in range(p)]
+    recv_up = [lax.ppermute(b, axis_name, up) for b in pack(go_up)]
+    recv_dn = [lax.ppermute(b, axis_name, down) for b in pack(go_down)]
+
+    all_pos = jnp.concatenate([pos, recv_up[0], recv_dn[0]])
+    all_vel = jnp.concatenate([vel, recv_up[1], recv_dn[1]])
+    all_valid = jnp.concatenate([stay, recv_up[2], recv_dn[2]])
+    order = jnp.argsort(~all_valid)[: pos.shape[0]]
+    return all_pos[order], all_vel[order], all_valid[order]
+
+
 def sharded_bullfrog_steps(pos, vel, bg: Background, g0, g1, n_steps, rshape,
-                           mesh: Mesh, axis_name="mesh", paint_order=2, halo=4):
+                           mesh: Mesh, axis_name="mesh", paint_order=2, halo=4,
+                           resort=False, cap_face=None):
     """n BullFrog drift-kick-drift steps on the decomposed layout.
 
     pos, vel : (P, 3) global cell coordinates/velocities, leading axis sharded
-    by slab ownership.  Valid while every particle stays within `halo` cells
-    of its owning slab (small steps / small displacements); a periodic global
-    resort (all_to_all particle exchange) is the round-2 extension for long
-    integrations.
+    by slab ownership.  Without `resort`, valid only while every particle
+    stays within `halo` cells of its owning slab.  With `resort=True`, a
+    fixed-capacity neighbor exchange after every step re-owns migrating
+    particles (contract: per-step drift < one slab width; `cap_face` bounds
+    the particles crossing one face per step).  The default cap_face is the
+    full local count — always safe under the contract but it triples the
+    per-shard particle buffer; production runs should set it to a measured
+    bound (e.g. 2x the particles within one cell of a face) and check the
+    returned `valid` mask for overflow drops.
+
+    Returns (pos, vel) without resort.  With resort, returns
+    (pos, vel, valid) where each shard carries 2*cap_face slack slots
+    (valid=False, parked at the slab start with weight 0) so slabs with net
+    inflow never drop particles; check `valid.sum() == n_particles` for mass
+    conservation and paint with `weights=valid`.
     """
     from montecosmo_tpu.ops.pm import alpha_bullfrog
 
@@ -155,21 +211,43 @@ def sharded_bullfrog_steps(pos, vel, bg: Background, g0, g1, n_steps, rshape,
     gs = g0 + dg * jnp.arange(n_steps)
 
     def body(pos, vel):
+        cap = cap_face if cap_face is not None else pos.shape[0]
+        valid = lax.pcast(jnp.ones(pos.shape[0], bool), (axis_name,),
+                          to="varying")
+        if resort:
+            # capacity slack: slabs with net inflow must not drop particles
+            p = lax.axis_size(axis_name)
+            idx = lax.axis_index(axis_name)
+            slack = 2 * cap
+            park = jnp.stack([(idx * (rshape[0] // p)).astype(pos.dtype),
+                              jnp.zeros((), pos.dtype),
+                              jnp.zeros((), pos.dtype)])
+            pos = jnp.concatenate([pos, jnp.broadcast_to(park, (slack, 3))])
+            vel = jnp.concatenate([vel, jnp.zeros((slack, 3), vel.dtype)])
+            valid = jnp.concatenate(
+                [valid, lax.pcast(jnp.zeros(slack, bool), (axis_name,),
+                                  to="varying")])
+
         def step(state, gstep):
-            pos, vel = state
+            pos, vel, valid = state
             pos = pos + vel * (dg / 2)
+            weights = valid.astype(pos.dtype) if resort else 1.0
             forces = sharded_pm_forces_local(pos, rshape, axis_name,
-                                             paint_order, halo)
+                                             paint_order, halo, weights)
             alpha = alpha_bullfrog(bg, gstep, dg)
             gmid = gstep + dg / 2
             vel = alpha * vel + (1 - alpha) * forces / gmid
             pos = pos + vel * (dg / 2)
-            return (pos, vel), None
+            if resort:
+                pos, vel, valid = _resort_local(pos, vel, valid, rshape,
+                                                axis_name, cap)
+            return (pos, vel, valid), None
 
-        (pos, vel), _ = lax.scan(step, (pos, vel), gs)
-        return pos, vel
+        (pos, vel, valid), _ = lax.scan(step, (pos, vel, valid), gs)
+        return pos, vel, valid
 
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(axis_name), P(axis_name)),
-                       out_specs=(P(axis_name), P(axis_name)))
-    return fn(pos, vel)
+                       out_specs=(P(axis_name), P(axis_name), P(axis_name)))
+    out = fn(pos, vel)
+    return out if resort else out[:2]

@@ -128,3 +128,56 @@ def test_sharded_bullfrog_matches_single_device(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_vel), np.asarray(vel_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_bullfrog_resort_matches_single_device(rng):
+    """With resort=True, particles may cross slab boundaries: the neighbor
+    exchange re-owns them and the final painted density still equals the
+    single-device scan."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from montecosmo_tpu.ops.pm import bullfrog_step
+    from montecosmo_tpu.parallel.halo import halo_paint
+    from montecosmo_tpu.parallel.render import sharded_bullfrog_steps
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+    bg = Background.create(Planck18())
+
+    lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
+                                     indexing="ij"), -1).reshape(-1, 3)
+    pos = lattice + 0.3 * jnp.asarray(rng.standard_normal(lattice.shape),
+                                      jnp.float32)
+    # velocities large enough that edge particles cross slab boundaries
+    vel = 4.0 * jnp.asarray(rng.standard_normal(lattice.shape), jnp.float32)
+
+    g0, g1, n_steps = 0.3, 0.6, 3
+    dg = (g1 - g0) / n_steps
+    gs = g0 + dg * jnp.arange(n_steps)
+    body = bullfrog_step(bg, dg, SHAPE, paint_order=2)
+    (pos_ref, _), _ = lax.scan(body, (pos, vel), gs)
+    expect = paint(pos_ref, SHAPE, order=2)
+
+    spec = NamedSharding(mesh, P("mesh"))
+    got_pos, got_vel, valid = sharded_bullfrog_steps(
+        jax.device_put(pos, spec), jax.device_put(vel, spec), bg,
+        g0, g1, n_steps, SHAPE, mesh, halo=3, resort=True)
+
+    # nothing was dropped (mass conserved across all exchanges)
+    assert int(valid.sum()) == lattice.shape[0]
+    # every valid particle lives in the slab of the shard that owns it —
+    # i.e. boundary-crossers really were handed to their new owner
+    cap = got_pos.shape[0] // 8
+    owner = (np.floor(np.asarray(got_pos)[:, 0]).astype(int) % SHAPE[0]) // (SHAPE[0] // 8)
+    shard = np.repeat(np.arange(8), cap)
+    ok = ~np.asarray(valid) | (owner == shard)
+    assert ok.all()
+    # and migration actually happened: net per-slab counts changed
+    n_end = np.bincount(owner[np.asarray(valid)], minlength=8)
+    assert np.any(n_end != lattice.shape[0] // 8), n_end
+    got = halo_paint(got_pos, SHAPE, mesh, weights=valid.astype(jnp.float32),
+                     order=2, halo=3)
+    np.testing.assert_allclose(float(got.sum()), lattice.shape[0], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-3, atol=5e-3)
