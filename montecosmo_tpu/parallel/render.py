@@ -13,11 +13,13 @@ without ever materializing a full mesh on one device.  Lattice particles are
 slab-owned by construction; the paint halo must cover the largest
 displacement (asserted by `max_disp`).
 
-`sharded_bullfrog_steps` extends this with decomposed PM gravity: each DKD
-step is halo paint -> pencil Poisson -> halo read, valid while particles stay
-within `halo` cells of their owning slab.  Round-2 extensions: 2LPT source
-term, periodic particle resort (all_to_all exchange) for long integrations,
-and the full bias/RSD observable layer on the sharded layout.
+`sharded_bullfrog_steps` extends this with decomposed PM gravity (each DKD
+step is halo paint -> pencil Poisson -> halo read) and an optional
+fixed-capacity neighbor resort that re-owns boundary-crossing particles.
+`sharded_lpt_observable` adds the 3rd-order Lagrangian bias expansion and
+flat-sky RSD on the same layout.  Round-2 extensions: PNG + velocity-bias
+operators, survey selection, and a ShardedFieldLevelModel wrapping the full
+logpdf gradient.
 """
 from functools import partial
 
@@ -51,6 +53,50 @@ def _delta2_local(pot, kvec, axis_name):
     return delta2
 
 
+def _linear_local(local, rshape, box_size, pow_interp, axis_name):
+    """White noise slab -> linear field in pencil Fourier space.
+    rfftn(N(0,I)) has E|.|^2 = n; delta_lin needs E|.|^2 = P(k) n^2/V
+    -> multiply by sqrt(P(k) * n/V)."""
+    k = _pencil_rfftn_local(local, axis_name)
+    kvec = pencil_rfftk(rshape, box_size, axis_name)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+    cell_per_box = np.prod(np.divide(rshape, box_size))
+    return k * (pow_interp(kmesh) * cell_per_box) ** 0.5, kvec
+
+
+def _disp_local(lin, kvec, cell, lpt_order, axis_name, dtype):
+    """1st (and optionally 2nd) order LPT force fields in cell units on the
+    slab layout.  Returns (grads1, grads2-or-None): displacement =
+    D1*grads1 - D2*grads2, growth-time velocity = grads1 - (dD2/dD1)*grads2."""
+    pot = lin * invlaplace_hat(kvec)
+    grads1 = [
+        _pencil_irfftn_local(-gradient_hat(kvec, i) * pot, axis_name)
+        / jnp.asarray(cell[i], dtype)
+        for i in range(3)]  # h/Mpc kernels -> cell-unit displacement
+
+    grads2 = None
+    if lpt_order == 2:
+        delta2 = _delta2_local(pot, kvec, axis_name)
+        pot2 = _pencil_rfftn_local(delta2, axis_name) * invlaplace_hat(kvec)
+        grads2 = [
+            _pencil_irfftn_local(-gradient_hat(kvec, i) * pot2, axis_name)
+            / jnp.asarray(cell[i], dtype)
+            for i in range(3)]
+    return grads1, grads2
+
+
+def _local_lattice(rshape, axis_name):
+    """This shard's slab of the global cell lattice, (X/P, Y, Z, 3)."""
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    nx_local = rshape[0] // p
+    ax = (idx * nx_local).astype(jnp.float32) + jnp.arange(
+        nx_local, dtype=jnp.float32)
+    ay = jnp.arange(rshape[1], dtype=jnp.float32)
+    az = jnp.arange(rshape[2], dtype=jnp.float32)
+    return jnp.stack(jnp.meshgrid(ax, ay, az, indexing="ij"), -1)
+
+
 def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
                               pow_interp, axis_name="mesh", halo=8,
                               paint_order=2, lpt_order=1):
@@ -63,54 +109,113 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
     Returns the painted (1 + delta) mesh, X-sharded.
     """
     rshape = tuple(int(s) for s in white.shape)
-    X, Y, Z = rshape
     growth = bg.a2g(jnp.asarray(a))
-    cell_per_box = np.prod(np.divide(rshape, box_size))
+    growth2 = bg.a2g2(jnp.asarray(a))
+    cell = np.divide(box_size, rshape)
 
     def body(local):
-        p = lax.axis_size(axis_name)
-        idx = lax.axis_index(axis_name)
+        lin, kvec = _linear_local(local, rshape, box_size, pow_interp,
+                                  axis_name)
+        grads1, grads2 = _disp_local(lin, kvec, cell, lpt_order, axis_name,
+                                     local.dtype)
+        disp = growth * jnp.stack(grads1, -1)
+        if grads2 is not None:
+            disp -= growth2 * jnp.stack(grads2, -1)
 
-        # ---- white -> linear field in Fourier space (Y-sharded pencils)
-        k = _pencil_rfftn_local(local, axis_name)
-        kvec = pencil_rfftk(rshape, box_size, axis_name)
-        kmesh = sum(ki**2 for ki in kvec) ** 0.5
-        # rfftn(N(0,I)) has E|.|^2 = n; delta_lin needs E|.|^2 = P(k) n^2/V
-        # -> multiply by sqrt(P(k) * n/V)
-        lin = k * (pow_interp(kmesh) * cell_per_box) ** 0.5
-
-        # ---- Zel'dovich displacement field (cell units)
-        pot = lin * invlaplace_hat(kvec)
-        cell = np.divide(box_size, rshape)
-        grads = [
-            _pencil_irfftn_local(-gradient_hat(kvec, i) * pot, axis_name)
-            / jnp.asarray(cell[i], local.dtype)
-            for i in range(3)]  # h/Mpc kernels -> cell-unit displacement
-
-        if lpt_order == 2:
-            delta2 = _delta2_local(pot, kvec, axis_name)
-            pot2 = _pencil_rfftn_local(delta2, axis_name) * invlaplace_hat(kvec)
-            growth2 = bg.a2g2(jnp.asarray(a))
-            grads2 = [
-                _pencil_irfftn_local(-gradient_hat(kvec, i) * pot2, axis_name)
-                / jnp.asarray(cell[i], local.dtype)
-                for i in range(3)]
-            # dpos = D1 * force1 - D2 * force2  (ops.pm.lpt convention)
-            grads = [g - (growth2 / growth) * g2
-                     for g, g2 in zip(grads, grads2)]
-
-        # ---- slab-owned lattice particles displaced by the local force
-        nx_local = X // p
-        x0 = (idx * nx_local).astype(jnp.float32)
-        ax = x0 + jnp.arange(nx_local, dtype=jnp.float32)
-        ay = jnp.arange(Y, dtype=jnp.float32)
-        az = jnp.arange(Z, dtype=jnp.float32)
-        lattice = jnp.stack(jnp.meshgrid(ax, ay, az, indexing="ij"), -1)
-        disp = growth * jnp.stack(grads, -1)
-        pos = (lattice + disp).reshape(-1, 3)
-
+        pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
         return halo_paint_local(pos, rshape, weights=1.0, order=paint_order,
                                 axis_name=axis_name, halo=halo)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=P(axis_name, None, None),
+                       out_specs=P(axis_name, None, None))
+    return fn(white)
+
+
+def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
+                           pow_interp, bias=None, rsd=False, axis_name="mesh",
+                           halo=8, paint_order=2, lpt_order=1):
+    """Biased, optionally redshift-space density on the decomposed layout:
+    white -> linear -> LPT displacement + Lagrangian bias weights (operators
+    evaluated at the lattice nodes, renormalized with pmean'd variances) ->
+    flat-sky RSD along z -> halo paint.
+
+    bias : dict with any of b1, b2, bs2, b3, bds2, bs3, bn2 (missing -> 0);
+           the same 3rd-order expansion as `models.bricks.lagrangian_bias`
+           (PNG and velocity-bias operators stay on the single-device path
+           for now).
+    rsd  : flat-sky redshift-space shift along the unsharded z axis
+           (growth-time velocity x D f, as `models.bricks.rsd`) — particle
+    ownership is unchanged, so no extra exchange is needed.
+    Returns the painted weighted density, X-sharded.
+    """
+    bias = dict(bias or {})
+    known = ("b1", "b2", "bs2", "b3", "bds2", "bs3", "bn2")
+    unknown = set(bias) - set(known)
+    assert not unknown, f"unknown bias keys {sorted(unknown)}; supported: {known}"
+    b = {k: jnp.asarray(bias.get(k, 0.0), jnp.float32) for k in known}
+    rshape = tuple(int(s) for s in white.shape)
+    growth = bg.a2g(jnp.asarray(a))
+    growth2 = bg.a2g2(jnp.asarray(a))
+    dg2dg = bg.a2dg2dg(jnp.asarray(a))
+    f_growth = bg.a2f(jnp.asarray(a))
+    cell = np.divide(box_size, rshape)
+
+    def body(local):
+        lin, kvec = _linear_local(local, rshape, box_size, pow_interp,
+                                  axis_name)
+        grads1, grads2 = _disp_local(lin, kvec, cell, lpt_order, axis_name,
+                                     local.dtype)
+
+        # ---- Lagrangian operator fields at the lattice nodes (pointwise on
+        # the slab after each pencil irfftn; matches lagrangian_bias's
+        # read_multi at lattice positions exactly)
+        pot = lin * invlaplace_hat(kvec)
+        shear = {}
+        for i in range(2):
+            nabi = gradient_hat(kvec, i)
+            shear[(i, i)] = _pencil_irfftn_local(nabi**2 * pot - lin / 3,
+                                                 axis_name)
+            for j in range(i + 1, 3):
+                nabj = gradient_hat(kvec, j)
+                shear[(i, j)] = _pencil_irfftn_local(nabi * nabj * pot,
+                                                     axis_name)
+        shear[(2, 2)] = -(shear[(0, 0)] + shear[(1, 1)])
+        sa, sb, sc = shear[(0, 0)], shear[(1, 1)], shear[(2, 2)]
+        sd, se, sf = shear[(0, 1)], shear[(0, 2)], shear[(1, 2)]
+
+        delta = _pencil_irfftn_local(lin, axis_name) * growth
+        shear2 = (sa**2 + sb**2 + sc**2
+                  + 2 * (sd**2 + se**2 + sf**2)) * growth**2
+        shear3 = 3 * (sa * (sb * sc - sf**2) - sd * (sd * sc - se * sf)
+                      + se * (sd * sf - sb * se)) * growth**3
+        kmesh2 = sum(ki**2 for ki in kvec)
+        delta_nab2 = _pencil_irfftn_local(-kmesh2 * lin, axis_name) * growth
+
+        # global renormalization: <delta^2> over the full mesh via pmean
+        sigma2 = lax.pmean((delta**2).mean(), axis_name)
+        delta2 = delta**2 - sigma2
+        shear2 = shear2 - 2 / 3 * sigma2  # <s^2> = 2/3 <delta^2>
+
+        weights = (1.0 + b["b1"] * delta + b["b2"] * delta2 / 2
+                   + b["bs2"] * shear2
+                   + b["b3"] * (delta**3 - 3 * sigma2 * delta) / 6
+                   + b["bds2"] * delta * shear2 + b["bs3"] * shear3
+                   + b["bn2"] * delta_nab2)
+
+        # ---- displacement (+ flat-sky RSD along the unsharded z axis)
+        disp = growth * jnp.stack(grads1, -1)
+        vel_z = grads1[2]
+        if grads2 is not None:
+            disp -= growth2 * jnp.stack(grads2, -1)
+            vel_z = vel_z - dg2dg * grads2[2]
+        if rsd:
+            disp = disp.at[..., 2].add(growth * f_growth * vel_z)
+
+        pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
+        return halo_paint_local(pos, rshape, weights=weights.reshape(-1),
+                                order=paint_order, axis_name=axis_name,
+                                halo=halo)
 
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=P(axis_name, None, None),

@@ -92,6 +92,56 @@ def test_sharded_render_2lpt_matches_single_device(rng):
     assert float(jnp.abs(got - zel).max()) > 1e-3
 
 
+def test_sharded_lpt_observable_matches_bricks(rng):
+    """The decomposed biased+RSD observable equals the single-device pipeline
+    built from the real `models.bricks.lagrangian_bias` brick (operators read
+    at the lattice nodes) plus the flat-sky RSD shift."""
+    from montecosmo_tpu.models.bricks import lagrangian_bias
+    from montecosmo_tpu.parallel.render import sharded_lpt_observable
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+
+    cosmo = Planck18()
+    bg = Background.create(cosmo)
+    pow_fn = lin_power_interp(cosmo)
+    a = 0.5
+    bias = dict(b1=1.0, b2=0.5, bs2=0.3, b3=0.2, bds2=0.1, bs3=0.05, bn2=0.1)
+
+    white = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+    got = sharded_lpt_observable(white, bg, BOX, a, mesh, pow_fn, bias=bias,
+                                 rsd=True, halo=4, lpt_order=1)
+
+    # ---- single-device reference through the production bias brick
+    lin = jnp.fft.rfftn(white)
+    kvec = rfftk(SHAPE, BOX)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+    cell_per_box = np.prod(np.divide(SHAPE, BOX))
+    lin = lin * (pow_fn(kmesh) * cell_per_box) ** 0.5
+
+    full_bias = dict(bias, bnpar=0.0)
+    png = dict(fNL_bp=0.0, fNL_bpd=0.0, fNL_bpd2=0.0, fNL_bps2=0.0,
+               fNL_bn2p=0.0)
+    lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
+                                     indexing="ij"), -1).reshape(-1, 3)
+    weights, dvel, _ = lagrangian_bias(cosmo, lattice, a, BOX, lin, full_bias,
+                                       png, read_order=2, bg=bg)
+
+    pot = lin * invlaplace_hat(kvec)
+    cell = np.divide(BOX, SHAPE)
+    grads = [jnp.fft.irfftn(-gradient_hat(kvec, i) * pot) / cell[i]
+             for i in range(3)]
+    g, f = float(bg.a2g(a)), float(bg.a2f(a))
+    disp = g * jnp.stack(grads, -1).reshape(-1, 3)
+    disp = disp.at[:, 2].add(g * f * grads[2].reshape(-1))  # flat-sky RSD
+    expect = paint(lattice + disp, SHAPE, weights=weights, order=2)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-3, atol=5e-3)
+    # the bias weights actually bite (not the unit-weight render)
+    assert float(jnp.abs(weights - 1.0).max()) > 0.1
+
+
 def test_sharded_bullfrog_matches_single_device(rng):
     """n decomposed BullFrog DKD steps == the single-device `bullfrog_step`
     scan, for particles that stay within the halo of their owning slab."""
