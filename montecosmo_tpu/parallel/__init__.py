@@ -5,5 +5,6 @@ from montecosmo_tpu.parallel.fft import (
 from montecosmo_tpu.parallel.halo import halo_paint, halo_read
 from montecosmo_tpu.parallel.chains import map_chains
 from montecosmo_tpu.parallel.render import (
-    sharded_bullfrog_steps, sharded_lpt_observable, sharded_zeldovich_density,
+    sharded_bullfrog_steps, sharded_field_logpdf, sharded_lpt_observable,
+    sharded_zeldovich_density,
 )

@@ -149,12 +149,24 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
     ownership is unchanged, so no extra exchange is needed.
     Returns the painted weighted density, X-sharded.
     """
+    body = _observable_body(tuple(int(s) for s in white.shape), box_size, bg,
+                            a, pow_interp, bias, rsd, axis_name, halo,
+                            paint_order, lpt_order)
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=P(axis_name, None, None),
+                       out_specs=P(axis_name, None, None))
+    return fn(white)
+
+
+def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
+                     axis_name, halo, paint_order, lpt_order):
+    """Per-shard biased(+RSD) observable render, for composition inside a
+    single shard_map (see sharded_lpt_observable / sharded_field_logpdf)."""
     bias = dict(bias or {})
     known = ("b1", "b2", "bs2", "b3", "bds2", "bs3", "bn2")
     unknown = set(bias) - set(known)
     assert not unknown, f"unknown bias keys {sorted(unknown)}; supported: {known}"
     b = {k: jnp.asarray(bias.get(k, 0.0), jnp.float32) for k in known}
-    rshape = tuple(int(s) for s in white.shape)
     growth = bg.a2g(jnp.asarray(a))
     growth2 = bg.a2g2(jnp.asarray(a))
     dg2dg = bg.a2dg2dg(jnp.asarray(a))
@@ -217,10 +229,7 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
                                 order=paint_order, axis_name=axis_name,
                                 halo=halo)
 
-    fn = jax.shard_map(body, mesh=mesh,
-                       in_specs=P(axis_name, None, None),
-                       out_specs=P(axis_name, None, None))
-    return fn(white)
+    return body
 
 
 def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
@@ -242,6 +251,39 @@ def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
         forces.append(halo_read_local(pos, g, order=paint_order,
                                       axis_name=axis_name, halo=halo))
     return jnp.stack(forces, -1)
+
+
+def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
+                         pow_interp, bias=None, rsd=False, noise_std=1.0,
+                         axis_name="mesh", halo=8, paint_order=2, lpt_order=1):
+    """Fully decomposed field-level log-posterior: standard-normal prior on
+    the X-sharded white-noise latent plus a Gaussian field likelihood on the
+    biased (RSD) observable, reduced with one psum.
+
+    Differentiable end-to-end: jax.grad flows through the halo exchanges,
+    the pencil all_to_alls, and the pmean renormalizations, so
+    value_and_grad of this IS the pod-scale training step.  Render and
+    reduction live in ONE shard_map so reverse-mode sees a single
+    collective program.
+    Returns a replicated scalar.
+    """
+    render = _observable_body(tuple(int(s) for s in white.shape), box_size,
+                              bg, a, pow_interp, bias, rsd, axis_name, halo,
+                              paint_order, lpt_order)
+
+    def logp_local(w_local, o_local):
+        d_local = render(w_local)
+        prior = -0.5 * jnp.sum(w_local**2)
+        lik = -0.5 * jnp.sum((d_local - o_local) ** 2) / noise_std**2
+        return lax.psum(prior + lik, axis_name)
+
+    # check_vma=False: the fft transpose rule drops the varying-axes type,
+    # which trips the vma checker in reverse mode (forward is unaffected);
+    # collectives are still lowered identically.
+    fn = jax.shard_map(logp_local, mesh=mesh,
+                       in_specs=(P(axis_name, None, None),) * 2,
+                       out_specs=P(), check_vma=False)
+    return fn(white, obs)
 
 
 def _resort_local(pos, vel, valid, rshape, axis_name, cap_face):
