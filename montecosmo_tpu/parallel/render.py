@@ -126,9 +126,11 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
         return halo_paint_local(pos, rshape, weights=1.0, order=paint_order,
                                 axis_name=axis_name, halo=halo)
 
-    fn = jax.shard_map(body, mesh=mesh,
-                       in_specs=P(axis_name, None, None),
-                       out_specs=P(axis_name, None, None))
+    # jit: stages kernel construction (axon rejects eager complex ops) and
+    # avoids per-op dispatch through the TPU tunnel
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=P(axis_name, None, None),
+                               out_specs=P(axis_name, None, None)))
     return fn(white)
 
 
@@ -152,9 +154,11 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
     body = _observable_body(tuple(int(s) for s in white.shape), box_size, bg,
                             a, pow_interp, bias, rsd, axis_name, halo,
                             paint_order, lpt_order)
-    fn = jax.shard_map(body, mesh=mesh,
-                       in_specs=P(axis_name, None, None),
-                       out_specs=P(axis_name, None, None))
+    # jit: stages kernel construction (axon rejects eager complex ops) and
+    # avoids per-op dispatch through the TPU tunnel
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=P(axis_name, None, None),
+                               out_specs=P(axis_name, None, None)))
     return fn(white)
 
 
@@ -280,9 +284,9 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
     # check_vma=False: the fft transpose rule drops the varying-axes type,
     # which trips the vma checker in reverse mode (forward is unaffected);
     # collectives are still lowered identically.
-    fn = jax.shard_map(logp_local, mesh=mesh,
-                       in_specs=(P(axis_name, None, None),) * 2,
-                       out_specs=P(), check_vma=False)
+    fn = jax.jit(jax.shard_map(logp_local, mesh=mesh,
+                               in_specs=(P(axis_name, None, None),) * 2,
+                               out_specs=P(), check_vma=False))
     return fn(white, obs)
 
 
@@ -393,8 +397,8 @@ def sharded_bullfrog_steps(pos, vel, bg: Background, g0, g1, n_steps, rshape,
         (pos, vel, valid), _ = lax.scan(step, (pos, vel, valid), gs)
         return pos, vel, valid
 
-    fn = jax.shard_map(body, mesh=mesh,
-                       in_specs=(P(axis_name), P(axis_name)),
-                       out_specs=(P(axis_name), P(axis_name), P(axis_name)))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=(P(axis_name), P(axis_name)),
+                               out_specs=(P(axis_name),) * 3))
     out = fn(pos, vel)
     return out if resort else out[:2]
