@@ -8,3 +8,4 @@ from montecosmo_tpu.parallel.render import (
     sharded_bullfrog_steps, sharded_field_logpdf, sharded_lpt_observable,
     sharded_zeldovich_density,
 )
+from montecosmo_tpu.parallel.model import ShardedFieldLevelModel

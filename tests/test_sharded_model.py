@@ -1,0 +1,76 @@
+"""ShardedFieldLevelModel: the pod-scale model API runs decomposed end-to-end
+(predict -> logpdf/force -> MCLMC) on the 8-device mesh."""
+import numpy as np
+import jax
+from jax import numpy as jnp, random as jr
+from jax.sharding import Mesh
+
+from montecosmo_tpu.parallel import ShardedFieldLevelModel
+
+SHAPE = (32, 16, 16)
+BOX = (400.0, 200.0, 200.0)
+
+
+def make_model(**kw):
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+    conf = dict(mesh_shape=SHAPE, box_size=BOX, a_obs=0.5, device_mesh=mesh,
+                bias=dict(b1=1.0, b2=0.3), rsd=True, lpt_order=1,
+                noise_std=0.5, halo=4)
+    conf.update(kw)
+    return ShardedFieldLevelModel(**conf)
+
+
+def test_predict_is_sharded_and_sane():
+    model = make_model()
+    truth = model.predict(seed=0)
+    for k in ("white_mesh", "mean_mesh", "obs_mesh"):
+        arr = truth[k]
+        assert arr.shape == SHAPE
+        assert len(arr.sharding.device_set) == 8, k
+        assert bool(jnp.all(jnp.isfinite(arr))), k
+    # mean field conserves mass (weights average to 1 by renormalization)
+    assert abs(float(truth["mean_mesh"].mean()) - 1.0) < 0.05
+    # noise actually added
+    assert float(jnp.abs(truth["obs_mesh"] - truth["mean_mesh"]).std()) > 0.1
+
+
+def test_truth_scores_higher_than_prior_draw():
+    model = make_model()
+    truth = model.predict(seed=0)
+    lp_truth = float(model.logpdf(truth["white_mesh"], truth["obs_mesh"]))
+    other = model.sample_white(seed=7)
+    lp_other = float(model.logpdf(other, truth["obs_mesh"]))
+    assert np.isfinite(lp_truth) and np.isfinite(lp_other)
+    assert lp_truth > lp_other
+
+
+def test_potential_and_force():
+    model = make_model()
+    truth = model.predict(seed=1)
+    pot, force = model.potential_and_force(truth["white_mesh"],
+                                           truth["obs_mesh"])
+    assert np.isfinite(float(pot))
+    assert force.shape == SHAPE
+    assert len(force.sharding.device_set) == 8
+    assert bool(jnp.all(jnp.isfinite(force)))
+    # gradient is non-trivial
+    assert float(jnp.abs(force).max()) > 1e-3
+
+
+def test_mclmc_through_model_api():
+    from montecosmo_tpu.samplers import get_mclmc_run, mclmc_init
+    from montecosmo_tpu.samplers.mclmc import MCLMCAdaptationState
+
+    model = make_model()
+    truth = model.predict(seed=2)
+    logdf = model.logdf_fn(truth["obs_mesh"])
+
+    params = {"white_mesh": model.sample_white(seed=3)}
+    state = mclmc_init(params, logdf, jr.key(0))
+    d = int(np.prod(SHAPE))
+    config = MCLMCAdaptationState(L=jnp.sqrt(float(d)), step_size=0.05,
+                                  inverse_mass_matrix=1.0)
+    state, samples = get_mclmc_run(logdf, n_samples=4, thinning=1)(
+        jr.key(1), state, config)
+    assert np.all(np.isfinite(np.asarray(samples["logdensity"])))
+    assert len(state.position["white_mesh"].sharding.device_set) == 8

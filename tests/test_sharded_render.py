@@ -207,6 +207,47 @@ def test_sharded_field_logpdf_value_and_grad_match(rng):
     np.testing.assert_allclose(g_got, g_ref, rtol=1e-3, atol=2e-3 * scale)
 
 
+def test_mclmc_over_sharded_potential(rng):
+    """Pod-scale inference: MCLMC steps with the white-noise latent X-sharded
+    over the device mesh and the decomposed logpdf as the potential — states
+    stay finite and the position keeps its spatial sharding."""
+    from jax import random as jr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from montecosmo_tpu.parallel.render import sharded_field_logpdf
+    from montecosmo_tpu.samplers import get_mclmc_run, mclmc_init
+    from montecosmo_tpu.samplers.mclmc import MCLMCAdaptationState
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+    cosmo = Planck18()
+    bg = Background.create(cosmo)
+    pow_fn = lin_power_interp(cosmo)
+
+    obs = jnp.asarray(1.0 + 0.1 * rng.standard_normal(SHAPE), jnp.float32)
+    obs = jax.device_put(obs, NamedSharding(mesh, P("mesh", None, None)))
+
+    def logdf(params):
+        return sharded_field_logpdf(params["white_"], obs, bg, BOX, 0.5, mesh,
+                                    pow_fn, bias=dict(b1=1.0), rsd=True,
+                                    noise_std=1.0, halo=4)
+
+    white = jax.device_put(
+        jnp.asarray(rng.standard_normal(SHAPE), jnp.float32),
+        NamedSharding(mesh, P("mesh", None, None)))
+
+    state = mclmc_init({"white_": white}, logdf, jr.key(0))
+    d = int(np.prod(SHAPE))
+    config = MCLMCAdaptationState(L=jnp.sqrt(float(d)), step_size=0.05,
+                                  inverse_mass_matrix=1.0)
+    state, samples = get_mclmc_run(logdf, n_samples=4, thinning=1)(
+        jr.key(1), state, config)
+
+    assert np.all(np.isfinite(np.asarray(samples["logdensity"])))
+    # the chain position is still spatially sharded over the device mesh
+    assert len(state.position["white_"].sharding.device_set) == 8
+
+
 def test_sharded_bullfrog_matches_single_device(rng):
     """n decomposed BullFrog DKD steps == the single-device `bullfrog_step`
     scan, for particles that stay within the halo of their owning slab."""
