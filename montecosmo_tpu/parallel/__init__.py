@@ -9,3 +9,4 @@ from montecosmo_tpu.parallel.render import (
     sharded_zeldovich_density,
 )
 from montecosmo_tpu.parallel.model import ShardedFieldLevelModel
+from montecosmo_tpu.parallel.metrics import sharded_spectrum

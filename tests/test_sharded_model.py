@@ -57,6 +57,21 @@ def test_potential_and_force():
     assert float(jnp.abs(force).max()) > 1e-3
 
 
+def test_sharded_spectrum_matches_single_device():
+    from montecosmo_tpu.metrics import spectrum
+    from montecosmo_tpu.parallel.metrics import sharded_spectrum
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+
+    k_ref, p_ref = spectrum(x, box_size=np.asarray(BOX))
+    k_got, p_got = sharded_spectrum(x, BOX, mesh)
+
+    np.testing.assert_allclose(k_got, np.asarray(k_ref), rtol=1e-5)
+    np.testing.assert_allclose(p_got, np.asarray(p_ref), rtol=1e-4)
+
+
 def test_mclmc_through_model_api():
     from montecosmo_tpu.samplers import get_mclmc_run, mclmc_init
     from montecosmo_tpu.samplers.mclmc import MCLMCAdaptationState
