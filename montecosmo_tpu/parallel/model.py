@@ -4,10 +4,10 @@ potential / force), but every mesh is X-sharded over a device-mesh axis and
 the forward + reverse passes run fully decomposed (pencil FFTs, halo
 exchange, psum/pmean collectives; see `parallel.render`).
 
-Scope (round 1): Gaussian field likelihood, 1/2LPT evolution, 3rd-order
-Lagrangian bias, flat-sky RSD.  PNG, velocity bias, survey selection, and
-the non-Gaussian likelihood family remain on the single-device
-FieldLevelModel path.
+Scope (round 1): Gaussian and Poisson field likelihoods, survey selection
+masks, 1/2LPT evolution, 3rd-order Lagrangian bias, flat-sky RSD.  PNG,
+velocity bias, and the remaining non-Gaussian likelihood family stay on the
+single-device FieldLevelModel path.
 
 Parity: reference model.py:210-320 (FieldLevelModel predict/logpdf) —
 re-architected for jax.sharding; the reference has no multi-device story.
@@ -40,8 +40,8 @@ class ShardedFieldLevelModel:
 
     def __init__(self, mesh_shape, box_size, a_obs, device_mesh: Mesh,
                  cosmology: Cosmology = None, bias=None, rsd=True,
-                 lpt_order=1, noise_std=1.0, halo=None, paint_order=2,
-                 axis_name="mesh"):
+                 lpt_order=1, noise_std=1.0, lik_type="gauss", selection=None,
+                 ngbar=1.0, halo=None, paint_order=2, axis_name="mesh"):
         self.mesh_shape = tuple(int(s) for s in mesh_shape)
         self.box_size = tuple(float(b) for b in np.broadcast_to(
             np.asarray(box_size, float), (3,)))
@@ -53,6 +53,8 @@ class ShardedFieldLevelModel:
         self.rsd = bool(rsd)
         self.lpt_order = int(lpt_order)
         self.noise_std = float(noise_std)
+        self.lik_type = str(lik_type)
+        self.ngbar = float(ngbar)
         self.paint_order = int(paint_order)
 
         n_dev = device_mesh.shape[axis_name]
@@ -66,6 +68,9 @@ class ShardedFieldLevelModel:
         self.bg = Background.create(self.cosmology)
         self.pow_interp = lin_power_interp(self.cosmology)
         self._sharding = NamedSharding(device_mesh, P(axis_name, None, None))
+        self.selection = (None if selection is None
+                          else jax.device_put(jnp.asarray(selection),
+                                              self._sharding))
         # jitted (-logp, -grad) step, cached so repeated calls don't re-trace;
         # without the outer jit the reverse pass dispatches op-by-op (20 ms/op
         # through the TPU tunnel)
@@ -99,11 +104,19 @@ class ShardedFieldLevelModel:
         if white is None:
             white = self.sample_white(kw)
         mean = self.observable(white)
-        noise_fn = jax.jit(
-            lambda k, m: m + self.noise_std * jr.normal(k, m.shape, m.dtype),
-            out_shardings=self._sharding)
+        sel = jnp.ones(()) if self.selection is None else self.selection
+        if self.lik_type == "poisson":
+            noise_fn = jax.jit(
+                lambda k, m, s: jr.poisson(
+                    k, jnp.maximum(self.ngbar * s * m, 1e-6)).astype(m.dtype),
+                out_shardings=self._sharding)
+        else:
+            noise_fn = jax.jit(
+                lambda k, m, s: (s > 0) * (
+                    s * m + self.noise_std * jr.normal(k, m.shape, m.dtype)),
+                out_shardings=self._sharding)
         return {"white_mesh": white, "mean_mesh": mean,
-                "obs_mesh": noise_fn(kn, mean)}
+                "obs_mesh": noise_fn(kn, mean, sel)}
 
     # --------------------------------------------------------------- inverse
     def logpdf(self, white, obs):
@@ -111,9 +124,10 @@ class ShardedFieldLevelModel:
         return sharded_field_logpdf(
             white, obs, self.bg, self.box_size, self.a_obs, self.device_mesh,
             self.pow_interp, bias=self.bias, rsd=self.rsd,
-            noise_std=self.noise_std, axis_name=self.axis_name,
-            halo=self.halo, paint_order=self.paint_order,
-            lpt_order=self.lpt_order)
+            noise_std=self.noise_std, lik_type=self.lik_type,
+            selection=self.selection, ngbar=self.ngbar,
+            axis_name=self.axis_name, halo=self.halo,
+            paint_order=self.paint_order, lpt_order=self.lpt_order)
 
     def potential(self, white, obs):
         return -self.logpdf(white, obs)

@@ -259,10 +259,18 @@ def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
 
 def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
                          pow_interp, bias=None, rsd=False, noise_std=1.0,
+                         lik_type="gauss", selection=None, ngbar=1.0,
                          axis_name="mesh", halo=8, paint_order=2, lpt_order=1):
     """Fully decomposed field-level log-posterior: standard-normal prior on
-    the X-sharded white-noise latent plus a Gaussian field likelihood on the
-    biased (RSD) observable, reduced with one psum.
+    the X-sharded white-noise latent plus a field likelihood on the biased
+    (RSD) observable, reduced with one psum.
+
+    lik_type  : 'gauss' (obs ~ N(dens, noise_std), masked by selection > 0)
+                or 'poisson' (obs ~ Poisson(ngbar * selection * dens),
+                reference likelihood.py:62-88 re-derived for the sharded
+                layout; dens floored at 1e-6 for log safety).
+    selection : optional X-sharded response/mask mesh multiplying the mean
+                (None -> unit coverage).
 
     Differentiable end-to-end: jax.grad flows through the halo exchanges,
     the pencil all_to_alls, and the pmean renormalizations, so
@@ -271,23 +279,37 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
     collective program.
     Returns a replicated scalar.
     """
+    assert lik_type in ("gauss", "poisson"), lik_type
     render = _observable_body(tuple(int(s) for s in white.shape), box_size,
                               bg, a, pow_interp, bias, rsd, axis_name, halo,
                               paint_order, lpt_order)
 
-    def logp_local(w_local, o_local):
+    def logp_local(w_local, o_local, sel_local):
         d_local = render(w_local)
         prior = -0.5 * jnp.sum(w_local**2)
-        lik = -0.5 * jnp.sum((d_local - o_local) ** 2) / noise_std**2
+        if lik_type == "gauss":
+            resid = (sel_local * d_local - o_local) * (sel_local > 0)
+            lik = -0.5 * jnp.sum(resid**2) / noise_std**2
+        else:  # poisson counts: rate = ngbar * selection * dens
+            rate = jnp.maximum(ngbar * sel_local * d_local, 1e-6)
+            lik = jnp.sum(o_local * jnp.log(rate) - rate)
         return lax.psum(prior + lik, axis_name)
+
+    if selection is None:
+        selection = jnp.ones((), white.dtype)
+        sel_spec = P()
+    else:
+        sel_spec = P(axis_name, None, None)
 
     # check_vma=False: the fft transpose rule drops the varying-axes type,
     # which trips the vma checker in reverse mode (forward is unaffected);
     # collectives are still lowered identically.
-    fn = jax.jit(jax.shard_map(logp_local, mesh=mesh,
-                               in_specs=(P(axis_name, None, None),) * 2,
-                               out_specs=P(), check_vma=False))
-    return fn(white, obs)
+    fn = jax.jit(jax.shard_map(
+        logp_local, mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None, None),
+                  sel_spec),
+        out_specs=P(), check_vma=False))
+    return fn(white, obs, selection)
 
 
 def _resort_local(pos, vel, valid, rshape, axis_name, cap_face):

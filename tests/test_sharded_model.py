@@ -57,6 +57,43 @@ def test_potential_and_force():
     assert float(jnp.abs(force).max()) > 1e-3
 
 
+def test_selection_masks_likelihood():
+    """Voxels with selection 0 contribute nothing: garbage observations in
+    the masked region leave the logpdf unchanged."""
+    sel = np.ones(SHAPE, np.float32)
+    sel[:, :, :4] = 0.0  # mask a z-slab (unsharded axis, same on every shard)
+    model = make_model(selection=sel)
+    truth = model.predict(seed=0)
+    obs = truth["obs_mesh"]
+    # obs is already zeroed where sel == 0
+    assert float(jnp.abs(obs[:, :, :4]).max()) == 0.0
+    lp = float(model.logpdf(truth["white_mesh"], obs))
+    garbage = obs.at[:, :, :4].set(1e3)
+    lp_garbage = float(model.logpdf(truth["white_mesh"],
+                                    model.shard(garbage)))
+    assert np.isfinite(lp)
+    np.testing.assert_allclose(lp_garbage, lp, rtol=1e-6)
+
+
+def test_poisson_likelihood_end_to_end():
+    model = make_model(lik_type="poisson", ngbar=10.0, noise_std=0.0)
+    truth = model.predict(seed=4)
+    counts = truth["obs_mesh"]
+    assert float(counts.min()) >= 0
+    assert np.allclose(np.asarray(counts), np.round(np.asarray(counts)))
+    # mean count ~ ngbar (density averages to 1)
+    assert abs(float(counts.mean()) - 10.0) < 1.0
+
+    lp_truth = float(model.logpdf(truth["white_mesh"], counts))
+    lp_other = float(model.logpdf(model.sample_white(seed=9), counts))
+    assert np.isfinite(lp_truth) and lp_truth > lp_other
+
+    pot, force = model.potential_and_force(truth["white_mesh"], counts)
+    assert np.isfinite(float(pot))
+    assert bool(jnp.all(jnp.isfinite(force)))
+    assert len(force.sharding.device_set) == 8
+
+
 def test_sharded_spectrum_matches_single_device():
     from montecosmo_tpu.metrics import spectrum
     from montecosmo_tpu.parallel.metrics import sharded_spectrum
