@@ -41,7 +41,8 @@ class ShardedFieldLevelModel:
     def __init__(self, mesh_shape, box_size, a_obs, device_mesh: Mesh,
                  cosmology: Cosmology = None, bias=None, rsd=True,
                  lpt_order=1, noise_std=1.0, lik_type="gauss", selection=None,
-                 ngbar=1.0, halo=None, paint_order=2, axis_name="mesh"):
+                 ngbar=1.0, png=None, fNL=0.0, halo=None, paint_order=2,
+                 axis_name="mesh"):
         self.mesh_shape = tuple(int(s) for s in mesh_shape)
         self.box_size = tuple(float(b) for b in np.broadcast_to(
             np.asarray(box_size, float), (3,)))
@@ -55,6 +56,8 @@ class ShardedFieldLevelModel:
         self.noise_std = float(noise_std)
         self.lik_type = str(lik_type)
         self.ngbar = float(ngbar)
+        self.png = None if png is None else dict(png)
+        self.fNL = float(fNL)
         self.paint_order = int(paint_order)
 
         n_dev = device_mesh.shape[axis_name]
@@ -93,8 +96,8 @@ class ShardedFieldLevelModel:
         """Noiseless biased (RSD) density from the white latent, decomposed."""
         return sharded_lpt_observable(
             white, self.bg, self.box_size, self.a_obs, self.device_mesh,
-            self.pow_interp, bias=self.bias, rsd=self.rsd,
-            axis_name=self.axis_name, halo=self.halo,
+            self.pow_interp, bias=self.bias, rsd=self.rsd, png=self.png,
+            fNL=self.fNL, axis_name=self.axis_name, halo=self.halo,
             paint_order=self.paint_order, lpt_order=self.lpt_order)
 
     def predict(self, seed=0, white=None):
@@ -125,8 +128,8 @@ class ShardedFieldLevelModel:
             white, obs, self.bg, self.box_size, self.a_obs, self.device_mesh,
             self.pow_interp, bias=self.bias, rsd=self.rsd,
             noise_std=self.noise_std, lik_type=self.lik_type,
-            selection=self.selection, ngbar=self.ngbar,
-            axis_name=self.axis_name, halo=self.halo,
+            selection=self.selection, ngbar=self.ngbar, png=self.png,
+            fNL=self.fNL, axis_name=self.axis_name, halo=self.halo,
             paint_order=self.paint_order, lpt_order=self.lpt_order)
 
     def potential(self, white, obs):

@@ -135,17 +135,20 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
 
 
 def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
-                           pow_interp, bias=None, rsd=False, axis_name="mesh",
-                           halo=8, paint_order=2, lpt_order=1):
+                           pow_interp, bias=None, rsd=False, png=None,
+                           fNL=0.0, axis_name="mesh", halo=8, paint_order=2,
+                           lpt_order=1):
     """Biased, optionally redshift-space density on the decomposed layout:
     white -> linear -> LPT displacement + Lagrangian bias weights (operators
     evaluated at the lattice nodes, renormalized with pmean'd variances) ->
     flat-sky RSD along z -> halo paint.
 
     bias : dict with any of b1, b2, bs2, b3, bds2, bs3, bn2 (missing -> 0);
-           the same 3rd-order expansion as `models.bricks.lagrangian_bias`
-           (PNG and velocity-bias operators stay on the single-device path
-           for now).
+           the same 3rd-order expansion as `models.bricks.lagrangian_bias`.
+    png  : optional dict of fNL_bp/fNL_bpd/fNL_bpd2/fNL_bps2/fNL_bn2p PNG
+           bias amplitudes; fNL adds local primordial non-Gaussianity to the
+           linear field itself (bricks.add_png).  Velocity bias (bnpar)
+           stays on the single-device path for now.
     rsd  : flat-sky redshift-space shift along the unsharded z axis
            (growth-time velocity x D f, as `models.bricks.rsd`) — particle
     ownership is unchanged, so no extra exchange is needed.
@@ -153,7 +156,7 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
     """
     body = _observable_body(tuple(int(s) for s in white.shape), box_size, bg,
                             a, pow_interp, bias, rsd, axis_name, halo,
-                            paint_order, lpt_order)
+                            paint_order, lpt_order, png=png, fNL=fNL)
     # jit: stages kernel construction (axon rejects eager complex ops) and
     # avoids per-op dispatch through the TPU tunnel
     fn = jax.jit(jax.shard_map(body, mesh=mesh,
@@ -163,14 +166,38 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
 
 
 def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
-                     axis_name, halo, paint_order, lpt_order):
+                     axis_name, halo, paint_order, lpt_order,
+                     png=None, fNL=0.0):
     """Per-shard biased(+RSD) observable render, for composition inside a
-    single shard_map (see sharded_lpt_observable / sharded_field_logpdf)."""
+    single shard_map (see sharded_lpt_observable / sharded_field_logpdf).
+
+    png : optional dict of PNG bias amplitudes (fNL_bp, fNL_bpd, fNL_bpd2,
+          fNL_bps2, fNL_bn2p; missing -> 0) — builds the primordial-potential
+          operator fields (2 extra pencil FFTs).
+    fNL : local primordial non-Gaussianity amplitude applied to the linear
+          field itself, phi -> phi + fNL (phi^2 - <phi^2>) as
+          `models.bricks.add_png` (2 extra pencil FFTs + one pmean).
+    """
+    from montecosmo_tpu.models.bricks import trans_phi2delta_interp
+
     bias = dict(bias or {})
-    known = ("b1", "b2", "bs2", "b3", "bds2", "bs3", "bn2")
+    known = ("b1", "b2", "bs2", "b3", "bds2", "bs3", "bn2", "bnpar")
     unknown = set(bias) - set(known)
     assert not unknown, f"unknown bias keys {sorted(unknown)}; supported: {known}"
     b = {k: jnp.asarray(bias.get(k, 0.0), jnp.float32) for k in known}
+    use_bnpar = bias.get("bnpar", 0.0) != 0.0
+    png_dict = dict(png or {})
+    png_known = ("fNL_bp", "fNL_bpd", "fNL_bpd2", "fNL_bps2", "fNL_bn2p")
+    png_unknown = set(png_dict) - set(png_known)
+    assert not png_unknown, (
+        f"unknown png keys {sorted(png_unknown)}; supported: {png_known}")
+    fp = {k: jnp.asarray(png_dict.get(k, 0.0), jnp.float32)
+          for k in png_known}
+    use_png = png is not None
+    use_fnl = not (isinstance(fNL, (int, float)) and fNL == 0.0)
+    trans_fn = (trans_phi2delta_interp(bg.cosmo, bg=bg)
+                if (use_png or use_fnl) else None)
+
     growth = bg.a2g(jnp.asarray(a))
     growth2 = bg.a2g2(jnp.asarray(a))
     dg2dg = bg.a2dg2dg(jnp.asarray(a))
@@ -180,6 +207,14 @@ def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
     def body(local):
         lin, kvec = _linear_local(local, rshape, box_size, pow_interp,
                                   axis_name)
+        kmesh = sum(ki**2 for ki in kvec) ** 0.5
+        if use_fnl:
+            # phi -> phi + fNL (phi^2 - <phi^2>)   (bricks.add_png)
+            trans = trans_fn(jnp.broadcast_to(kmesh, lin.shape))
+            phi0 = _pencil_irfftn_local(safe_div(lin, trans), axis_name)
+            phi2 = phi0**2
+            phi0 = phi0 + fNL * (phi2 - lax.pmean(phi2.mean(), axis_name))
+            lin = trans * _pencil_rfftn_local(phi0, axis_name)
         grads1, grads2 = _disp_local(lin, kvec, cell, lpt_order, axis_name,
                                      local.dtype)
 
@@ -219,6 +254,20 @@ def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
                    + b["bds2"] * delta * shear2 + b["bs3"] * shear3
                    + b["bn2"] * delta_nab2)
 
+        if use_png:
+            # primordial-potential operators (lagrangian_bias, png branch)
+            trans = trans_fn(jnp.broadcast_to(kmesh, lin.shape))
+            phi = _pencil_irfftn_local(safe_div(lin, trans), axis_name)
+            phi_nab2 = _pencil_irfftn_local(-kmesh2 * safe_div(lin, trans),
+                                            axis_name)
+            phi_delta = phi * delta
+            sigma_pd = lax.pmean(phi_delta.mean(), axis_name)
+            weights += fp["fNL_bp"] * phi
+            weights += fp["fNL_bpd"] * (phi_delta - sigma_pd)
+            weights += fp["fNL_bpd2"] * (phi * delta2 - 2 * sigma_pd * delta)
+            weights += fp["fNL_bps2"] * phi * shear2
+            weights += fp["fNL_bn2p"] * phi_nab2
+
         # ---- displacement (+ flat-sky RSD along the unsharded z axis)
         disp = growth * jnp.stack(grads1, -1)
         vel_z = grads1[2]
@@ -226,7 +275,15 @@ def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
             disp -= growth2 * jnp.stack(grads2, -1)
             vel_z = vel_z - dg2dg * grads2[2]
         if rsd:
-            disp = disp.at[..., 2].add(growth * f_growth * vel_z)
+            shift_z = growth * f_growth * vel_z
+            if use_bnpar:
+                # higher-derivative velocity bias: dvel = bnpar grad(delta) D
+                # (h/Mpc, bricks.py lagrangian_bias) -> cell units along z
+                gradz = _pencil_irfftn_local(gradient_hat(kvec, 2) * lin,
+                                             axis_name)
+                shift_z = shift_z + (b["bnpar"] * growth * gradz
+                                     / jnp.asarray(cell[2], local.dtype))
+            disp = disp.at[..., 2].add(shift_z)
 
         pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
         return halo_paint_local(pos, rshape, weights=weights.reshape(-1),
@@ -260,7 +317,8 @@ def sharded_pm_forces_local(pos, rshape, axis_name="mesh", paint_order=2,
 def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
                          pow_interp, bias=None, rsd=False, noise_std=1.0,
                          lik_type="gauss", selection=None, ngbar=1.0,
-                         axis_name="mesh", halo=8, paint_order=2, lpt_order=1):
+                         png=None, fNL=0.0, axis_name="mesh", halo=8,
+                         paint_order=2, lpt_order=1):
     """Fully decomposed field-level log-posterior: standard-normal prior on
     the X-sharded white-noise latent plus a field likelihood on the biased
     (RSD) observable, reduced with one psum.
@@ -282,7 +340,7 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
     assert lik_type in ("gauss", "poisson"), lik_type
     render = _observable_body(tuple(int(s) for s in white.shape), box_size,
                               bg, a, pow_interp, bias, rsd, axis_name, halo,
-                              paint_order, lpt_order)
+                              paint_order, lpt_order, png=png, fNL=fNL)
 
     def logp_local(w_local, o_local, sel_local):
         d_local = render(w_local)

@@ -106,7 +106,8 @@ def test_sharded_lpt_observable_matches_bricks(rng):
     bg = Background.create(cosmo)
     pow_fn = lin_power_interp(cosmo)
     a = 0.5
-    bias = dict(b1=1.0, b2=0.5, bs2=0.3, b3=0.2, bds2=0.1, bs3=0.05, bn2=0.1)
+    bias = dict(b1=1.0, b2=0.5, bs2=0.3, b3=0.2, bds2=0.1, bs3=0.05, bn2=0.1,
+                bnpar=0.5)
 
     white = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
     got = sharded_lpt_observable(white, bg, BOX, a, mesh, pow_fn, bias=bias,
@@ -119,12 +120,11 @@ def test_sharded_lpt_observable_matches_bricks(rng):
     cell_per_box = np.prod(np.divide(SHAPE, BOX))
     lin = lin * (pow_fn(kmesh) * cell_per_box) ** 0.5
 
-    full_bias = dict(bias, bnpar=0.0)
     png = dict(fNL_bp=0.0, fNL_bpd=0.0, fNL_bpd2=0.0, fNL_bps2=0.0,
                fNL_bn2p=0.0)
     lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
                                      indexing="ij"), -1).reshape(-1, 3)
-    weights, dvel, _ = lagrangian_bias(cosmo, lattice, a, BOX, lin, full_bias,
+    weights, dvel, _ = lagrangian_bias(cosmo, lattice, a, BOX, lin, bias,
                                        png, read_order=2, bg=bg)
 
     pot = lin * invlaplace_hat(kvec)
@@ -133,13 +133,68 @@ def test_sharded_lpt_observable_matches_bricks(rng):
              for i in range(3)]
     g, f = float(bg.a2g(a)), float(bg.a2f(a))
     disp = g * jnp.stack(grads, -1).reshape(-1, 3)
-    disp = disp.at[:, 2].add(g * f * grads[2].reshape(-1))  # flat-sky RSD
+    # flat-sky RSD incl. velocity bias: dvel is physical (h/Mpc) -> cell
+    disp = disp.at[:, 2].add(g * f * grads[2].reshape(-1)
+                             + dvel[:, 2] / cell[2])
     expect = paint(lattice + disp, SHAPE, weights=weights, order=2)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=2e-3, atol=5e-3)
     # the bias weights actually bite (not the unit-weight render)
     assert float(jnp.abs(weights - 1.0).max()) > 0.1
+
+
+def test_sharded_png_observable_matches_bricks(rng):
+    """PNG on the decomposed layout: local fNL applied to the linear field
+    (add_png) plus the primordial-potential bias operators equal the
+    single-device bricks pipeline."""
+    from montecosmo_tpu.models.bricks import add_png, lagrangian_bias
+    from montecosmo_tpu.parallel.render import sharded_lpt_observable
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("mesh",))
+
+    cosmo = Planck18()
+    bg = Background.create(cosmo)
+    pow_fn = lin_power_interp(cosmo)
+    a = 0.5
+    fNL = 50.0
+    bias = dict(b1=1.0, b2=0.5)
+    png = dict(fNL_bp=2.0, fNL_bpd=1.0, fNL_bpd2=0.5, fNL_bps2=0.3,
+               fNL_bn2p=0.2)
+
+    white = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+    got = sharded_lpt_observable(white, bg, BOX, a, mesh, pow_fn, bias=bias,
+                                 rsd=False, png=png, fNL=fNL, halo=4)
+
+    # ---- single-device reference: add_png then lagrangian_bias(png branch)
+    lin = jnp.fft.rfftn(white)
+    kvec = rfftk(SHAPE, BOX)
+    kmesh = sum(ki**2 for ki in kvec) ** 0.5
+    cell_per_box = np.prod(np.divide(SHAPE, BOX))
+    lin = lin * (pow_fn(kmesh) * cell_per_box) ** 0.5
+    lin = add_png(cosmo, fNL, lin, BOX, bg=bg)
+
+    full_bias = dict(bias, bs2=0.0, b3=0.0, bds2=0.0, bs3=0.0, bn2=0.0,
+                     bnpar=0.0)
+    lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in SHAPE],
+                                     indexing="ij"), -1).reshape(-1, 3)
+    weights, _, _ = lagrangian_bias(cosmo, lattice, a, BOX, lin, full_bias,
+                                    png, png_type="local", read_order=2,
+                                    bg=bg)
+    pot = lin * invlaplace_hat(kvec)
+    cell = np.divide(BOX, SHAPE)
+    grads = [jnp.fft.irfftn(-gradient_hat(kvec, i) * pot) / cell[i]
+             for i in range(3)]
+    disp = float(bg.a2g(a)) * jnp.stack(grads, -1).reshape(-1, 3)
+    expect = paint(lattice + disp, SHAPE, weights=weights, order=2)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-3, atol=5e-3)
+    # PNG actually changes the field vs the png-less render
+    plain = sharded_lpt_observable(white, bg, BOX, a, mesh, pow_fn, bias=bias,
+                                   rsd=False, halo=4)
+    assert float(jnp.abs(got - plain).max()) > 1e-3
 
 
 def test_sharded_field_logpdf_value_and_grad_match(rng):
