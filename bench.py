@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def build(final=128):
+def build(final=128, paint_method="auto"):
     import jax
     from jax import random as jr
 
@@ -27,6 +27,7 @@ def build(final=128):
         final_shape=3 * (final,), cell_length=500.0 * 2 / final,
         evolution="lpt", lpt_order=2, a_obs=0.5, curved_sky=False,
         box_center=(0.0, 0.0, 1500.0), lik_type="quad_gauss", precond="kaiser",
+        paint_method=paint_method,
     )
     model = FieldLevelModel(**conf)
 
@@ -42,7 +43,7 @@ def build(final=128):
     return jax.jit(eval_step), params
 
 
-def main(final=128, n_warmup=2, n_iter=10):
+def main(final=128, n_warmup=2, n_iter=10, paint_method="auto"):
     import jax
 
     # persistent compilation cache: big-mesh compiles through the TPU tunnel
@@ -51,7 +52,7 @@ def main(final=128, n_warmup=2, n_iter=10):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    step, params = build(final)
+    step, params = build(final, paint_method)
     # compile + warmup
     for _ in range(n_warmup):
         logp, grads = step(params)
@@ -77,4 +78,4 @@ def main(final=128, n_warmup=2, n_iter=10):
 
 if __name__ == "__main__":
     final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    main(final)
+    main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto")

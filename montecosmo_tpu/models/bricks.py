@@ -19,7 +19,7 @@ from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk
 from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, r2chshape, rg2cgh, scale_shape,
 )
-from montecosmo_tpu.ops.paint import nufft, paint, read, read_multi
+from montecosmo_tpu.ops.paint import nufft, paint, read, read_multi, read_sites
 from montecosmo_tpu.ops.power import lin_power, lin_power_interp, lin_power_mesh
 from montecosmo_tpu.models.truncnorm import std2trunc, trunc2std
 from montecosmo_tpu.utils.geometry import cart2radecrad, radecrad2cart
@@ -245,7 +245,8 @@ def samp2base_mesh(init: dict, precond, transfer, inv=False, temp=1.0) -> dict:
 
 # ======================================================================= bias
 def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
-                    png_type=None, kpow=None, read_order: int = 2, bg=None):
+                    png_type=None, kpow=None, read_order: int = 2, bg=None,
+                    sites_shape=None):
     """Lagrangian bias expansion weights up to 3rd order + higher-derivative +
     PNG operators, read at particle positions and scaled by growth powers:
 
@@ -307,7 +308,12 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     else:
         phi = 0.0
 
-    vals = read_multi(pos, fields, read_order)
+    if sites_shape is not None and read_order <= 2:
+        # pos is the exact regular lattice: the gather degenerates to strided
+        # slicing (identity at stride 1) — zero random-access traffic
+        vals = read_sites(fields, sites_shape)
+    else:
+        vals = read_multi(pos, fields, read_order)
     g = growths.squeeze()
     delta_pos = vals[..., 0] * g
     shear2_pos = vals[..., 1] * g**2

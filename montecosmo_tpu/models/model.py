@@ -46,7 +46,7 @@ from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, chreshape, masked2mesh, mesh2masked, r2chshape, rg2cgh,
     scale_shape,
 )
-from montecosmo_tpu.ops.paint import nufft, read
+from montecosmo_tpu.ops.paint import nufft, read, read_sites
 from montecosmo_tpu.ops.pm import lpt, nbody_bf
 from montecosmo_tpu.ops.power import lin_power_mesh
 from montecosmo_tpu.utils.io import h5load, yload, ysave
@@ -76,6 +76,8 @@ default_config = {
     "ptcl_oversamp": 7 / 4,
     "paint_oversamp": 7 / 4,
     "interlace_order": 2,
+    "paint_method": "auto",              # auto | window | scatter
+    "max_disp": 8,                       # paint_window bound (paint cells)
     # Observable
     "observable": "field",
     "poles": (0, 2, 4),
@@ -353,6 +355,8 @@ class FieldLevelModel(Model):
     ptcl_oversamp: float
     paint_oversamp: float
     interlace_order: int
+    paint_method: str
+    max_disp: int
     # Observable
     observable: str
     poles: tuple
@@ -425,6 +429,34 @@ class FieldLevelModel(Model):
         self.evol_shape = scale_shape(self.final_shape, self.evol_oversamp)
         self.ptcl_shape = scale_shape(self.final_shape, self.ptcl_oversamp)
         self.paint_shape = scale_shape(self.final_shape, self.paint_oversamp)
+
+        # Scatter-free MXU painting (ops/paint_window): the paint and evol
+        # meshes must be integer refinements of the particle lattice; "auto"
+        # further requires the clip bound to cover >= 40 Mpc/h of displacement
+        # (~6 sigma of LPT+RSD at z <~ 1) so clamping stays in the far tail.
+        self.max_disp = int(self.max_disp)
+        geom_ok = all(p % q == 0 for p, q in zip(self.paint_shape, self.ptcl_shape)) \
+            and all(e % q == 0 for e, q in zip(self.evol_shape, self.ptcl_shape))
+        paint_cell = float(np.min(np.divide(self.box_size, self.paint_shape)))
+        if self.paint_method == "window":
+            assert geom_ok, (f"paint_method='window' needs paint {self.paint_shape} "
+                             f"and evol {self.evol_shape} to be multiples of "
+                             f"ptcl {self.ptcl_shape}")
+            self.paint_lattice = tuple(self.ptcl_shape)
+        elif (self.paint_method == "auto" and geom_ok
+              and self.max_disp * paint_cell >= 40.0):
+            self.paint_lattice = tuple(self.ptcl_shape)
+        elif self.paint_method in ("auto", "scatter"):
+            self.paint_lattice = None
+        else:
+            raise ValueError(f"Unknown paint_method: {self.paint_method}")
+
+        # Reads at the UNDISPLACED regular lattice (Lagrangian bias
+        # operators, LPT forces) degenerate to strided slicing when the
+        # evolution mesh is an integer refinement of the particle lattice
+        self.evol_sites = tuple(self.ptcl_shape) if all(
+            e % q == 0 for e, q in zip(self.evol_shape, self.ptcl_shape)) \
+            else None
 
         # Scale cut
         self.k_funda = 2 * np.pi / np.min(self.box_size)
@@ -539,7 +571,10 @@ class FieldLevelModel(Model):
             if self.ap_auto is not None:
                 # re-sample the Kaiser mesh on an AP-distorted particle grid
                 pos = regular_pos(self.evol_shape, self.ptcl_shape)
-                weights = read(pos, gxy_mesh, self.paint_order)
+                if self.evol_sites is not None and self.paint_order <= 2:
+                    weights = read_sites(gxy_mesh, self.evol_sites)
+                else:
+                    weights = read(pos, gxy_mesh, self.paint_order)
                 pos = cell2phys_pos(pos, self.box_center, self.box_rot,
                                     self.box_size, self.evol_shape)
                 if self.ap_auto:
@@ -552,7 +587,9 @@ class FieldLevelModel(Model):
                     pos, self.paint_shape, None, weights=weights,
                     paint_order=self.paint_order,
                     interlace_order=self.interlace_order,
-                    kernel_type=self.kernel_type, paint_deconv=self.paint_deconv))
+                    kernel_type=self.kernel_type, paint_deconv=self.paint_deconv,
+                    lattice_shape=self.paint_lattice, max_disp=self.max_disp,
+                    clip=True))
                 gxy_mesh *= np.prod(np.divide(self.evol_shape, self.ptcl_shape))
 
             if tuple(gxy_mesh.shape) != tuple(self.final_shape):
@@ -575,9 +612,14 @@ class FieldLevelModel(Model):
                 lambda im, b, p: lagrangian_bias(
                     cosmology, pos, a, self.box_size, im, b, p,
                     png_type=self.png_type, kpow=self.lin_kpow, read_order=1,
-                    bg=bg))(init_mesh, bias, png)
+                    bg=bg, sites_shape=self.evol_sites))(init_mesh, bias, png)
             if self.bias_type == "eulerian":
-                phi_pos = read(pos, phi, order=1) if self.png_type is not None else 0.0
+                if self.png_type is None:
+                    phi_pos = 0.0
+                elif self.evol_sites is not None:
+                    phi_pos = read_sites(phi, self.evol_sites)
+                else:
+                    phi_pos = read(pos, phi, order=1)
 
             if self.png_type is not None:
                 init_mesh = add_png(cosmology, png["fNL"], init_mesh,
@@ -588,17 +630,25 @@ class FieldLevelModel(Model):
             if self.evolution == "lpt":
                 dpos, vel = maybe_ckpt(
                     lambda im: lpt(bg, im, pos=pos, a=a,
-                                   lpt_order=self.lpt_order, read_order=1))(init_mesh)
+                                   lpt_order=self.lpt_order, read_order=1,
+                                   sites_shape=self.evol_sites))(init_mesh)
                 pos = pos + dpos
                 pos, vel = ppl.deterministic("lpt_ptcl", jnp.stack((pos, vel)))
 
             elif self.evolution == "nbody":
                 assert jnp.ndim(a) == 0, "N-body light-cone not implemented yet"
+                # PM force paints run at evol resolution: rescale the window
+                # bound from paint cells to evol cells
+                max_disp_evol = int(np.ceil(self.max_disp * np.max(
+                    np.divide(self.evol_shape, self.paint_shape))))
                 pos, vel = nbody_bf(bg, init_mesh, pos=pos, a0=self.nbody_a_start,
                                     a1=a, n_steps=self.nbody_n_steps,
                                     paint_order=self.paint_order,
                                     lpt_order=self.lpt_order, paint_deconv=False,
-                                    snapshots=self.nbody_snapshots)
+                                    snapshots=self.nbody_snapshots,
+                                    lattice_shape=self.paint_lattice,
+                                    max_disp=max_disp_evol,
+                                    sites_shape=self.evol_sites)
                 pos, vel = ppl.deterministic("nbody_ptcl", jnp.stack((pos, vel)))
                 pos, vel = pos[-1], vel[-1]
             else:
@@ -629,7 +679,9 @@ class FieldLevelModel(Model):
                                  paint_order=self.paint_order,
                                  interlace_order=self.interlace_order,
                                  kernel_type=self.kernel_type,
-                                 paint_deconv=self.paint_deconv)
+                                 paint_deconv=self.paint_deconv,
+                                 lattice_shape=self.paint_lattice,
+                                 max_disp=self.max_disp, clip=True)
                 gxy_mesh *= np.prod(np.divide(self.init_shape, self.ptcl_shape))
                 gxy_mesh = chreshape(gxy_mesh, r2chshape(self.paint_shape))
                 gxy_mesh = jnp.fft.irfftn(gxy_mesh)
@@ -640,7 +692,9 @@ class FieldLevelModel(Model):
                                  weights=weights, paint_order=self.paint_order,
                                  interlace_order=self.interlace_order,
                                  kernel_type=self.kernel_type,
-                                 paint_deconv=self.paint_deconv)
+                                 paint_deconv=self.paint_deconv,
+                                 lattice_shape=self.paint_lattice,
+                                 max_disp=self.max_disp, clip=True)
                     mesh *= np.prod(np.divide(self.paint_shape, self.ptcl_shape))
                     return chreshape(mesh, r2chshape(self.paint_shape))
 

@@ -52,13 +52,24 @@ def _flat_wrapped(idx, shape):
 
 
 def paint(pos, shape: tuple, weights=1.0, order: int = 2,
-          kernel_type="rectangular", oversamp=1.0):
+          kernel_type="rectangular", oversamp=1.0, lattice_shape=None,
+          max_disp=8, clip=False):
     """Scatter particle `weights` onto a mesh of `shape`.
 
     pos : (..., d) positions in cell units (periodically wrapped).
+    lattice_shape : if given, positions are lattice-ordered with
+        |pos - site| <= max_disp cells per axis, and painting runs on the
+        scatter-free MXU path (`ops.paint_window`) — ~10x faster forward
+        and ~4x faster backward on TPU than the XLA scatter.
     Returns a real mesh of `shape`.
     """
     shape = tuple(int(s) for s in shape)
+    if lattice_shape is not None:
+        from montecosmo_tpu.ops.paint_window import paint_hybrid
+        return paint_hybrid(pos.reshape(-1, len(shape)), shape, lattice_shape,
+                            jnp.reshape(weights, (-1,)) if jnp.ndim(weights)
+                            else weights, order, kernel_type, oversamp,
+                            max_disp=max_disp, clip=clip)
     kernel = _window_fn(order, kernel_type, oversamp)
     round_fn = jnp.round if order % 2 else jnp.floor
     id0 = round_fn(pos).astype(jnp.int32)
@@ -128,14 +139,39 @@ def read_multi(pos, meshes, order: int = 2, kernel_type="rectangular",
     return out
 
 
+def read_sites(meshes, sites_shape: tuple):
+    """Read mesh(es) at the `regular_pos(mesh_shape, sites_shape)` lattice.
+
+    When mesh_shape % sites_shape == 0 the sites are exact integer cells, so
+    NGP/CIC reads (order <= 2) reduce to strided slicing — zero gather
+    traffic, and the backward pass is a zero-insert instead of a scatter.
+    Equals `read(regular_pos(shape, sites_shape), meshes, order)` for
+    order in (1, 2).
+
+    meshes : (X, Y, Z), (X, Y, Z, C), or a list of (X, Y, Z) arrays.
+    Returns (prod(sites_shape),) or (prod(sites_shape), C).
+    """
+    if isinstance(meshes, (list, tuple)):
+        meshes = jnp.stack(meshes, axis=-1)
+    shape = meshes.shape[:3]
+    assert all(int(m) % int(p) == 0 for m, p in zip(shape, sites_shape)), (
+        f"mesh {shape} must be a multiple of the site lattice {sites_shape}")
+    r = [int(m) // int(p) for m, p in zip(shape, sites_shape)]
+    vals = meshes[::r[0], ::r[1], ::r[2]]
+    return vals.reshape((-1,) + meshes.shape[3:])
+
+
 def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
               interlace_order: int = 2, kernel_type="rectangular",
-              paint_oversamp: float = 1.0):
+              paint_oversamp: float = 1.0, lattice_shape=None, max_disp=8,
+              clip=False):
     """Equal-spacing interlaced painting in Fourier space.
 
     Paints `interlace_order` diagonally shifted clouds and accumulates their
     phase-rotated rffts, cancelling the leading aliasing images
     (Wang&Yu 2024 arXiv:2403.13561).  interlace_order >= 3 is not isotropic.
+    The paint_window margin covers the sub-cell interlacing shifts, so
+    `lattice_shape`/`max_disp` pass straight through.
     """
     kvec = rfftk(shape)
     ksum = sum(kvec)
@@ -143,7 +179,8 @@ def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
 
     def step(carry, shift):
         mesh = paint(pos + shift, shape, weights, paint_order,
-                     kernel_type=kernel_type, oversamp=paint_oversamp)
+                     kernel_type=kernel_type, oversamp=paint_oversamp,
+                     lattice_shape=lattice_shape, max_disp=max_disp, clip=clip)
         carry += jnp.fft.rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
         return carry, None
 
@@ -153,7 +190,8 @@ def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
 
 def nufft(pos, final_shape: tuple, paint_shape=None, weights=1.0,
           paint_order: int = 2, interlace_order: int = 2,
-          kernel_type="rectangular", paint_deconv=True):
+          kernel_type="rectangular", paint_deconv=True, lattice_shape=None,
+          max_disp=8, clip=False):
     """Non-uniform FFT: oversampled paint + interlace + window deconvolution +
     power-preserving Fourier downsample to `final_shape`.
 
@@ -161,6 +199,9 @@ def nufft(pos, final_shape: tuple, paint_shape=None, weights=1.0,
     irfftn of the result sums to the total particle weight.
 
     paint_shape : None (= final_shape), float oversampling factor, or shape.
+    lattice_shape : optional particle-lattice shape for the scatter-free MXU
+        paint (positions lattice-ordered, within max_disp PAINT cells of
+        their sites; requires paint_shape to be a multiple of it).
     Returns the rfft mesh at `r2chshape(final_shape)`.
     """
     if paint_shape is None:
@@ -176,7 +217,8 @@ def nufft(pos, final_shape: tuple, paint_shape=None, weights=1.0,
     ratio = np.divide(paint_shape, final_shape)
     pos = pos * ratio.astype(pos.dtype)  # final units -> paint units (no mutation)
     mesh = interlace(pos, tuple(paint_shape), weights, paint_order, interlace_order,
-                     kernel_type=kernel_type, paint_oversamp=paint_oversamp)
+                     kernel_type=kernel_type, paint_oversamp=paint_oversamp,
+                     lattice_shape=lattice_shape, max_disp=max_disp, clip=clip)
     mesh *= ratio.prod()  # units jacobian: conserve total counts
 
     if paint_deconv:

@@ -25,11 +25,12 @@ from montecosmo_tpu.ops.fourier import (
     bspline_hat, gaussian_hat, gradient_hat, invlaplace_hat, rfftk,
 )
 from montecosmo_tpu.ops.hermitian import ch2rshape
-from montecosmo_tpu.ops.paint import paint, read, read_multi
+from montecosmo_tpu.ops.paint import paint, read, read_multi, read_sites
 
 
 def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
-              grad_fd=np.inf, lap_fd=np.inf, kcut=np.inf):
+              grad_fd=np.inf, lap_fd=np.inf, kcut=np.inf, lattice_shape=None,
+              max_disp=8, sites_shape=None):
     """Gravitational forces at particle positions from a density mesh.
 
     mesh : tuple -> paint the particles first (1 paint + 1 rfft);
@@ -39,7 +40,9 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     """
     if isinstance(mesh, tuple):
         mesh_shape = mesh
-        mesh = jnp.fft.rfftn(paint(pos, mesh_shape, order=read_order))
+        mesh = jnp.fft.rfftn(paint(pos, mesh_shape, order=read_order,
+                                   lattice_shape=lattice_shape,
+                                   max_disp=max_disp, clip=True))
         if paint_deconv:
             kvec = rfftk(mesh_shape)
             # painted AND read at this order -> deconvolve twice
@@ -55,10 +58,14 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     grads = jnp.stack(
         [jnp.fft.irfftn(-gradient_hat(kvec, i, grad_fd) * pot)
          for i in range(len(kvec))], axis=-1)
+    if sites_shape is not None and read_order <= 2:
+        # pos is the exact regular lattice: strided slicing, no gathers
+        return read_sites(grads, sites_shape)
     return read_multi(pos, grads, read_order)
 
 
-def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf):
+def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
+               sites_shape=None):
     """2LPT source-term forces: delta2 = sum_i<j (h_ii h_jj - h_ij^2) of the
     potential Hessian (6 FFTs), then Poisson forces of delta2 (1 + 3 FFTs)."""
     kvec = rfftk(ch2rshape(mesh.shape))
@@ -75,11 +82,12 @@ def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf):
             hess_ij = gradient_hat(kvec, i, grad_fd) * gradient_hat(kvec, j, grad_fd)
             delta2 -= jnp.fft.irfftn(hess_ij * pot) ** 2
 
-    return pm_forces(pos, jnp.fft.rfftn(delta2), read_order, grad_fd=grad_fd, lap_fd=lap_fd)
+    return pm_forces(pos, jnp.fft.rfftn(delta2), read_order, grad_fd=grad_fd,
+                     lap_fd=lap_fd, sites_shape=sites_shape)
 
 
 def lpt(bg: Background, init_mesh, pos, a, lpt_order: int = 2,
-        read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf):
+        read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf, sites_shape=None):
     """1st/2nd-order LPT displacement and growth-time velocity at scale
     factor(s) `a` (List&Hahn arXiv:2409.19049 eq. 3.5/3.7).
 
@@ -89,12 +97,14 @@ def lpt(bg: Background, init_mesh, pos, a, lpt_order: int = 2,
     if jnp.isrealobj(init_mesh):
         init_mesh = jnp.fft.rfftn(init_mesh)
 
-    force1 = pm_forces(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd)
+    force1 = pm_forces(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd,
+                       sites_shape=sites_shape)
     dpos = bg.a2g(a) * force1
     vel = force1
 
     if lpt_order == 2:
-        force2 = pm_forces2(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd)
+        force2 = pm_forces2(pos, init_mesh, read_order, grad_fd=grad_fd,
+                            lap_fd=lap_fd, sites_shape=sites_shape)
         dpos -= bg.a2g2(a) * force2
         vel -= bg.a2dg2dg(a) * force2
 
@@ -148,7 +158,7 @@ def alpha_fastpm(bg: Background, g0, dg):
 
 def bullfrog_step(bg: Background, dg, mesh_shape: tuple, paint_order: int = 2,
                   paint_deconv=False, grad_fd=np.inf, lap_fd=np.inf,
-                  alpha_fn=alpha_bullfrog):
+                  alpha_fn=alpha_bullfrog, lattice_shape=None, max_disp=8):
     """One drift-kick-drift BullFrog step in growth time, as a scan body.
 
     state = (pos, vel) with vel = dpos/dD1; g0 is the step's starting growth.
@@ -157,7 +167,8 @@ def bullfrog_step(bg: Background, dg, mesh_shape: tuple, paint_order: int = 2,
         pos, vel = state
         pos = pos + vel * (dg / 2)                                 # drift
         forces = pm_forces(pos, tuple(mesh_shape), paint_order,    # kick
-                           paint_deconv=paint_deconv, grad_fd=grad_fd, lap_fd=lap_fd)
+                           paint_deconv=paint_deconv, grad_fd=grad_fd, lap_fd=lap_fd,
+                           lattice_shape=lattice_shape, max_disp=max_disp)
         alpha = alpha_fn(bg, g0, dg)
         g1 = g0 + dg / 2
         vel = alpha * vel + (1 - alpha) * forces / g1
@@ -170,7 +181,7 @@ def bullfrog_step(bg: Background, dg, mesh_shape: tuple, paint_order: int = 2,
 def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
              paint_order: int = 2, lpt_order: int = 2, paint_deconv=False,
              grad_fd=np.inf, lap_fd=np.inf, snapshots=None, alpha_fn=alpha_bullfrog,
-             checkpoint=True):
+             checkpoint=True, lattice_shape=None, max_disp=8, sites_shape=None):
     """BullFrog N-body from `a0` to `a1`: LPT initialization then `n_steps`
     growth-time DKD steps compiled as one (checkpointed) `lax.scan`.
 
@@ -188,12 +199,14 @@ def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
 
     mesh_shape = ch2rshape(init_mesh.shape)
     dpos, vel = lpt(bg, init_mesh, pos=pos, a=a0, lpt_order=lpt_order,
-                    read_order=1, grad_fd=grad_fd, lap_fd=lap_fd)
+                    read_order=1, grad_fd=grad_fd, lap_fd=lap_fd,
+                    sites_shape=sites_shape)
     state = (pos + dpos, vel)
 
     body = bullfrog_step(bg, dg, mesh_shape, paint_order,
                          paint_deconv=paint_deconv, grad_fd=grad_fd,
-                         lap_fd=lap_fd, alpha_fn=alpha_fn)
+                         lap_fd=lap_fd, alpha_fn=alpha_fn,
+                         lattice_shape=lattice_shape, max_disp=max_disp)
     if checkpoint:
         body = jax_checkpoint(body)  # O(1) per-step reverse-mode memory
 

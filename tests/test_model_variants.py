@@ -104,3 +104,31 @@ def test_png_fnl():
     model = make(png_type="fNL", evolution="lpt", lpt_order=1)
     lp, pred = fiducial_logpdf(model)
     assert np.isfinite(lp)
+
+
+def test_paint_window_matches_scatter_model():
+    """Full LPT+bias+RSD forward model: the scatter-free MXU paint path gives
+    the same galaxy mesh and logpdf as the XLA scatter path."""
+    kw = dict(evolution="lpt", lpt_order=2, paint_oversamp=2.0,
+              ptcl_oversamp=1.0, evol_oversamp=2.0)
+    m_win = make(paint_method="window", **kw)
+    m_sc = make(paint_method="scatter", **kw)
+    assert m_win.paint_lattice == (8, 8, 8) and m_sc.paint_lattice is None
+
+    lw, pw = fiducial_logpdf(m_win)
+    ls, ps = fiducial_logpdf(m_sc)
+    np.testing.assert_allclose(np.asarray(pw["gxy_mesh"]),
+                               np.asarray(ps["gxy_mesh"]), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(lw, ls, rtol=1e-5)
+
+
+def test_paint_auto_gate():
+    """auto enables the window path only when the clip bound covers the
+    displacement scale and the lattice divides the meshes."""
+    assert make(paint_method="auto").paint_lattice == (8, 8, 8)
+    # 8 cells * 2.5 Mpc/h = 20 Mpc/h < 40 -> scatter fallback
+    assert make(paint_method="auto",
+                cell_length=2.5).paint_lattice is None
+    # non-integer refinement -> scatter fallback
+    assert make(paint_method="auto",
+                paint_oversamp=1.5, ptcl_oversamp=1.0).paint_lattice is None

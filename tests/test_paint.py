@@ -101,3 +101,23 @@ def test_nufft_count_conservation_real_space(rng):
     pos = _pos(rng, n)
     mesh = jnp.fft.irfftn(nufft(pos, SHAPE, paint_shape=1.5))
     np.testing.assert_allclose(float(mesh.sum()), n, rtol=1e-3)
+
+
+def test_read_sites_matches_read(rng):
+    """read_sites == read(regular_pos(...)) for orders 1-2 and multi-channel."""
+    from montecosmo_tpu.ops.paint import read_sites, read_multi
+    from montecosmo_tpu.models.bricks import regular_pos
+
+    for sites in ((16, 16, 16), (8, 8, 8), (4, 8, 16)):
+        pos = regular_pos(SHAPE, sites)
+        mesh = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+        got = read_sites(mesh, sites)
+        for order in (1, 2):
+            ref = read(pos, mesh, order=order)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"sites={sites} order={order}")
+        meshes = jnp.asarray(rng.standard_normal(SHAPE + (4,)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(read_sites(meshes, sites)),
+                                   np.asarray(read_multi(pos, meshes, 2)),
+                                   rtol=1e-6, atol=1e-6)
