@@ -44,10 +44,11 @@ def trans_phi2delta_interp(cosmo: Cosmology, a=1.0, kpow=None, n_interp=256, bg=
     norm_growth = bg.a2g(a) / growth_md
     trans = 2.0 * RH**2 * ks**2 * lin_trans * norm_growth / (3.0 * cosmo.Omega_m)
 
-    def trans_fn(x):
-        return jnp.interp(x.reshape(-1), ks, trans, left=0.0, right=0.0).reshape(x.shape)
-
-    return trans_fn
+    # mesh-sized queries: uniform-log-grid fast path (ops/interp.py);
+    # node positions are static (EH98 logspace or the register table)
+    from montecosmo_tpu.ops.interp import log_uniform_interp_fn
+    nodes = np.logspace(-4, 1, n_interp) if kpow is None else np.asarray(kpow[0])
+    return log_uniform_interp_fn(nodes, trans, left=0.0, right=0.0)
 
 
 def add_png(cosmo: Cosmology, fNL, lin_mesh, box_size, kpow=None, bg=None):

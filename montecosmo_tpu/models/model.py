@@ -432,8 +432,10 @@ class FieldLevelModel(Model):
 
         # Scatter-free MXU painting (ops/paint_window): the paint and evol
         # meshes must be integer refinements of the particle lattice; "auto"
-        # further requires the clip bound to cover >= 40 Mpc/h of displacement
-        # (~6 sigma of LPT+RSD at z <~ 1) so clamping stays in the far tail.
+        # grows max_disp so the window covers >= 45 Mpc/h of displacement
+        # (~7 sigma of LPT+RSD at z <~ 1; clamping stays in the far tail) and
+        # falls back to scatter when the required window gets too wide (the
+        # per-group matmul cost grows ~ quadratically with the margin).
         self.max_disp = int(self.max_disp)
         geom_ok = all(p % q == 0 for p, q in zip(self.paint_shape, self.ptcl_shape)) \
             and all(e % q == 0 for e, q in zip(self.evol_shape, self.ptcl_shape))
@@ -443,9 +445,13 @@ class FieldLevelModel(Model):
                              f"and evol {self.evol_shape} to be multiples of "
                              f"ptcl {self.ptcl_shape}")
             self.paint_lattice = tuple(self.ptcl_shape)
-        elif (self.paint_method == "auto" and geom_ok
-              and self.max_disp * paint_cell >= 40.0):
-            self.paint_lattice = tuple(self.ptcl_shape)
+        elif self.paint_method == "auto" and geom_ok:
+            need = int(np.ceil(45.0 / paint_cell))
+            if need <= 24:
+                self.max_disp = max(self.max_disp, need)
+                self.paint_lattice = tuple(self.ptcl_shape)
+            else:
+                self.paint_lattice = None
         elif self.paint_method in ("auto", "scatter"):
             self.paint_lattice = None
         else:

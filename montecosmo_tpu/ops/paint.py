@@ -59,14 +59,17 @@ def paint(pos, shape: tuple, weights=1.0, order: int = 2,
     pos : (..., d) positions in cell units (periodically wrapped).
     lattice_shape : if given, positions are lattice-ordered with
         |pos - site| <= max_disp cells per axis, and painting runs on the
-        scatter-free MXU path (`ops.paint_window`) — ~10x faster forward
-        and ~4x faster backward on TPU than the XLA scatter.
+        scatter-free MXU path (`ops.paint_window`) — ~4x faster forward
+        and ~2.6x faster value+grad on TPU than the XLA scatter.
     Returns a real mesh of `shape`.
     """
     shape = tuple(int(s) for s in shape)
     if lattice_shape is not None:
-        from montecosmo_tpu.ops.paint_window import paint_hybrid
-        return paint_hybrid(pos.reshape(-1, len(shape)), shape, lattice_shape,
+        # pure window path: the XLA scatter is slow in BOTH directions on the
+        # TPU (the early 'fast forward scatter' readings were async-dispatch
+        # artifacts of the axon runtime -- see BENCH_NOTES.md); matmuls win
+        from montecosmo_tpu.ops.paint_window import paint_window
+        return paint_window(pos.reshape(-1, len(shape)), shape, lattice_shape,
                             jnp.reshape(weights, (-1,)) if jnp.ndim(weights)
                             else weights, order, kernel_type, oversamp,
                             max_disp=max_disp, clip=clip)

@@ -295,8 +295,13 @@ def paint_hybrid(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
                  clip=True):
     """Scatter-forward / window-backward painting.
 
-    Forward runs the plain XLA scatter (`ops.paint.paint`): for lattice-ordered
-    particles its nearly-sequential updates are fast on TPU.  The backward
+    NOTE: measured SLOWER than pure `paint_window` on the axon TPU (the
+    "fast lattice-ordered forward scatter" that motivated this was a
+    lazy-dispatch timing artifact — see BENCH_NOTES.md); kept because the
+    scatter forward wraps any position (no displacement bound on the
+    VALUE, only on gradient quality), which pure window painting cannot do.
+
+    Forward runs the plain XLA scatter (`ops.paint.paint`).  The backward
     pass — where the scatter's VJP degenerates into latency-bound random
     gathers — is replaced by `read_window` matmuls via the adjoint identity
         d<paint(pos, w), ct>/dw  = read(pos, ct)

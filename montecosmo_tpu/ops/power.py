@@ -114,13 +114,16 @@ def lin_power_interp(cosmo: Cosmology, a=1.0, kpow=None, n_interp=256, bg=None):
 
     Linear-space interpolation on log-spaced nodes: handles k=0 exactly and
     avoids the nan gradients of log-log interpolation at the origin.
+    Mesh-sized queries run on the uniform-grid fast path (index arithmetic +
+    one row gather) instead of jnp.interp's latency-bound searchsorted —
+    the node grids are log-uniform (EH98) or resampled once (register
+    tables) by `log_uniform_interp_fn`.
     """
+    from montecosmo_tpu.ops.interp import log_uniform_interp_fn
+
     ks, pows = lin_power(cosmo, a=a, kpow=kpow, n_interp=n_interp, bg=bg)
-
-    def pow_fn(x):
-        return jnp.interp(x.reshape(-1), ks, pows, left=0.0, right=0.0).reshape(x.shape)
-
-    return pow_fn
+    nodes = np.logspace(-4, 1, n_interp) if kpow is None else kpow[0]
+    return log_uniform_interp_fn(nodes, pows, left=0.0, right=0.0)
 
 
 def lin_power_mesh(cosmo: Cosmology, mesh_shape: tuple, box_size, a=1.0,

@@ -81,3 +81,18 @@ def check_finite(tree, name="value", error=True):
     if bad and error:
         raise FloatingPointError(f"non-finite values in {name}: {bad}")
     return not bad
+
+
+def force_sync_dispatch():
+    """Enter the axon runtime's honest (synchronous) dispatch mode.
+
+    The TPU tunnel runtime dispatches lazily until the first device->host
+    transfer: `block_until_ready` returns without forcing execution, so
+    timings taken before any transfer measure dispatch bookkeeping, not
+    compute (0.04 ms "nufft" readings).  After one transfer every dispatch is
+    synchronous and timings are real.  Call this before any timing loop.
+    """
+    import jax
+    import numpy as np
+    from jax import numpy as jnp
+    np.asarray(jax.jit(lambda: jnp.zeros(()))())

@@ -18,6 +18,11 @@ from montecosmo_tpu.ops.paint import paint
 from montecosmo_tpu.ops.paint_window import paint_window
 
 
+from montecosmo_tpu.utils.profiling import force_sync_dispatch
+
+force_sync_dispatch()
+
+
 def timeit(fn, *args, n=10):
     out = fn(*args)
     jax.block_until_ready(out)

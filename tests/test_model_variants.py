@@ -126,9 +126,12 @@ def test_paint_auto_gate():
     """auto enables the window path only when the clip bound covers the
     displacement scale and the lattice divides the meshes."""
     assert make(paint_method="auto").paint_lattice == (8, 8, 8)
-    # 8 cells * 2.5 Mpc/h = 20 Mpc/h < 40 -> scatter fallback
+    # auto grows max_disp to cover ~45 Mpc/h of displacement
+    m = make(paint_method="auto", cell_length=5.0)
+    assert m.paint_lattice == (8, 8, 8) and m.max_disp == 9
+    # 45 Mpc/h at 1 Mpc/h cells needs a 45-cell window -> scatter fallback
     assert make(paint_method="auto",
-                cell_length=2.5).paint_lattice is None
+                cell_length=1.0).paint_lattice is None
     # non-integer refinement -> scatter fallback
     assert make(paint_method="auto",
                 paint_oversamp=1.5, ptcl_oversamp=1.0).paint_lattice is None
