@@ -28,6 +28,10 @@ GROWTH_LOG10_AMIN = -3.0
 GROWTH_STEPS = 128
 DIST_LOG10_AMIN = -3.0
 DIST_STEPS = 256
+# static uniform chi grid for the chi->a inverse (covers chi(a=1e-3) for any
+# reasonable w0waCDM; queries beyond clamp to the a_min edge)
+CHI_STEPS = 2048
+CHI_GRID_MAX = 4.9 * RH
 
 
 class Cosmology(NamedTuple):
@@ -138,6 +142,7 @@ class Background(NamedTuple):
     f2_tab: jnp.ndarray    # dlnD2/dlna
     a_dist: jnp.ndarray    # (DIST_STEPS,)
     chi_tab: jnp.ndarray   # comoving distance [Mpc/h], decreasing in a
+    a_chi_tab: jnp.ndarray  # a at the static uniform chi grid (chi2a table)
 
     @classmethod
     def create(cls, cosmo: Cosmology,
@@ -174,20 +179,40 @@ class Background(NamedTuple):
         chitab = _rk4(dchi, jnp.zeros(()), jnp.log(adist))
         chitab = chitab[-1] - chitab  # distance from a=1 back to a
 
-        return cls(cosmo, atab, gtab, g2tab, ftab, f2tab, adist, chitab)
+        # invert chi(a) once onto the STATIC uniform chi grid: mesh-sized
+        # chi2a queries then bracket by index arithmetic instead of
+        # searchsorted over the traced table (ops/interp.py)
+        chi_grid = jnp.linspace(0.0, CHI_GRID_MAX, CHI_STEPS)
+        a_chi_tab = jnp.interp(chi_grid, chitab[::-1], adist[::-1])
+
+        return cls(cosmo, atab, gtab, g2tab, ftab, f2tab, adist, chitab,
+                   a_chi_tab)
+
+    def _a_lookup(self, a, ytab, atab):
+        """Interp on the log-uniform a grid: index-arithmetic bracket + one
+        row gather when the nodes are concrete (they are unless a Background
+        is passed ACROSS a jit boundary, where we fall back to jnp.interp)."""
+        from montecosmo_tpu.ops.interp import uniform_interp
+        try:
+            nodes = np.asarray(atab)
+        except Exception:  # traced nodes: jit-argument Background
+            return jnp.interp(a, atab, ytab)
+        x0 = float(np.log(nodes[0]))
+        dx = float((np.log(nodes[-1]) - x0) / (nodes.size - 1))
+        return uniform_interp(a, x0, dx, ytab, logx=True, xtab=nodes)
 
     # ---- growth lookups (parity: nbody.py:750-808)
     def a2g(self, a):
-        return jnp.interp(a, self.a_tab, self.g_tab)
+        return self._a_lookup(a, self.g_tab, self.a_tab)
 
     def a2g2(self, a):
-        return jnp.interp(a, self.a_tab, self.g2_tab) * (-3.0 / 7)
+        return self._a_lookup(a, self.g2_tab, self.a_tab) * (-3.0 / 7)
 
     def a2f(self, a):
-        return jnp.interp(a, self.a_tab, self.f_tab)
+        return self._a_lookup(a, self.f_tab, self.a_tab)
 
     def a2f2(self, a):
-        return jnp.interp(a, self.a_tab, self.f2_tab)
+        return self._a_lookup(a, self.f2_tab, self.a_tab)
 
     def a2dg2dg(self, a):
         g, g2 = self.a2g(a), self.a2g2(a)
@@ -212,11 +237,14 @@ class Background(NamedTuple):
 
     # ---- distance lookups (parity: nbody.py:817-896)
     def a2chi(self, a):
-        return jnp.clip(jnp.interp(a, self.a_dist, self.chi_tab), 0.0)
+        return jnp.clip(self._a_lookup(a, self.chi_tab, self.a_dist), 0.0)
 
     def chi2a(self, chi):
-        # chi decreases with a -> reverse for jnp.interp
-        return jnp.interp(chi, self.chi_tab[::-1], self.a_dist[::-1])
+        # pre-inverted static uniform chi grid (see create); linear grid ->
+        # the grid-coordinate lerp IS the linear-x lerp
+        from montecosmo_tpu.ops.interp import uniform_interp
+        return uniform_interp(chi, 0.0, CHI_GRID_MAX / (CHI_STEPS - 1),
+                              self.a_chi_tab)
 
     def k2ell(self, a, k):
         """Wavenumber -> multipole via Limber."""

@@ -32,6 +32,7 @@ def uniform_interp(x, x0, dx, ytab, left=None, right=None, logx=False,
     ytab may have trailing channel dims: (n, ...) -> output x.shape + (...,).
     """
     n = ytab.shape[0]
+    x = jnp.asarray(x)
     xq = jnp.log(jnp.maximum(x, jnp.finfo(jnp.result_type(float)).tiny)) \
         if logx else x
     t = (xq - x0) / dx

@@ -141,7 +141,7 @@ def _regroup(arr, lattice_shape, nG, G, trailing):
 def paint_window(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
                  order: int = 2, kernel_type="rectangular", oversamp=1.0,
                  max_disp=8, group=(None, None, None), batch_size=8,
-                 clip=False):
+                 clip=False, precision=lax.Precision.HIGHEST):
     """Scatter-free painting of lattice-ordered particles (see module doc).
 
     pos           : (P, 3) positions in `shape` cell units, lattice-MAJOR
@@ -193,11 +193,11 @@ def paint_window(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
                                   kernel_type, oversamp)
         oh_xy = (ax[:, :, None] * ay[:, None, :]).reshape(Pg, W[0] * W[1])
         # (Wx*Wy, Pg) @ (Pg, Wz) -> the group's local window block
-        # HIGHEST: default matmul precision is bf16 on TPU -- 8 mantissa
+        # >= HIGH: default matmul precision is bf16 on TPU -- 8 mantissa
         # bits would quantize the deposited mass at the 0.4% level
         return jnp.einsum("pr,pz->rz", oh_xy, az * w[:, None],
                           preferred_element_type=dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=precision)
 
     # checkpoint: the (Pg, Wx*Wy) one-hot blocks are recomputed in the
     # backward pass instead of being stored for every group
@@ -218,7 +218,8 @@ def paint_window(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
 
 def read_window(pos, meshes, lattice_shape: tuple, order: int = 2,
                 kernel_type="rectangular", oversamp=1.0, max_disp=8,
-                group=(None, None, None), batch_size=8, clip=False):
+                group=(None, None, None), batch_size=8, clip=False,
+                precision=lax.Precision.HIGHEST):
     """Gather-free mesh read at lattice-ordered positions (adjoint of
     `paint_window`; same contract — see the module docstring).
 
@@ -275,10 +276,10 @@ def read_window(pos, meshes, lattice_shape: tuple, order: int = 2,
         big = jnp.einsum("pr,rz->pz", oh_xy,
                          local.reshape(W[0] * W[1], W[2] * C),
                          preferred_element_type=dtype,
-                         precision=lax.Precision.HIGHEST)
+                         precision=precision)
         return jnp.einsum("pz,pzc->pc", az, big.reshape(Pg, W[2], C),
                           preferred_element_type=dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=precision)
 
     vals = lax.map(jax.checkpoint(body), (posg, starts, bases),
                    batch_size=batch_size)                 # (n_groups, Pg, C)
