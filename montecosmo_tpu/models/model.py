@@ -446,9 +446,14 @@ class FieldLevelModel(Model):
                              f"ptcl {self.ptcl_shape}")
             self.paint_lattice = tuple(self.ptcl_shape)
         elif self.paint_method == "auto" and geom_ok:
-            need = int(np.ceil(45.0 / paint_cell))
+            # ~36 Mpc/h covers ~5.5 sigma of LPT+RSD displacement at z <~ 1;
+            # clip=True clamps the remaining tail (mass-conserving).  The
+            # window cost grows ~quadratically with the margin, so auto picks
+            # the SMALLEST safe bound (ignoring the config floor) and falls
+            # back to scatter when the window would get too wide.
+            need = int(np.ceil(36.0 / paint_cell))
             if need <= 24:
-                self.max_disp = max(self.max_disp, need)
+                self.max_disp = max(4, need)
                 self.paint_lattice = tuple(self.ptcl_shape)
             else:
                 self.paint_lattice = None

@@ -159,3 +159,152 @@ def halo_read(pos_sharded, mesh_sharded, mesh: Mesh, order=2,
         in_specs=(P(axis_name), P(axis_name, None, None)),
         out_specs=P(axis_name))
     return fn(pos_sharded, mesh_sharded)
+
+
+def _fold_axis_ext(blocks, out_len, stride, base0, block_axis, win_axis):
+    """Overlap-add of per-group windows along a NON-periodic axis.
+
+    Like `paint_window._fold_axis` but into a length-`out_len` buffer with no
+    wrap: group g's window starts at g*stride + base0 with base0 >= 0 and all
+    windows contained in [0, out_len) (the caller guarantees the margin fits
+    inside the halo).  Returns the array with the (group, window) axes
+    replaced by one length-`out_len` axis at `block_axis`.
+    """
+    W = blocks.shape[win_axis]
+    n_seg = -(-W // stride)
+    pad = n_seg * stride - W
+    if pad:
+        pad_width = [(0, 0)] * blocks.ndim
+        pad_width[win_axis] = (0, pad)
+        blocks = jnp.pad(blocks, pad_width)
+
+    blocks = jnp.moveaxis(blocks, (block_axis, win_axis), (0, 1))
+    n = blocks.shape[0]
+    rest = blocks.shape[2:]
+    blocks = blocks.reshape((n, n_seg, stride) + rest)
+
+    # every group's WINDOW content fits ([0, out_len)); only the zero pad of
+    # the last segment may spill past the end, so trimming the tail is safe
+    assert base0 >= 0 and (n - 1) * stride + base0 + W <= out_len, (
+        f"window fold out of range (halo too small for the paint margin): "
+        f"base0={base0} W={W} out_len={out_len}")
+    out = jnp.zeros((out_len,) + rest, blocks.dtype)
+    for c in range(n_seg):
+        off = base0 + c * stride
+        flat = blocks[:, c].reshape((n * stride,) + rest)
+        trim = max(0, off + n * stride - out_len)
+        if trim:
+            flat = flat[:n * stride - trim]
+        out = out + jnp.pad(
+            flat, [(off, out_len - off - flat.shape[0])] + [(0, 0)] * len(rest))
+    return jnp.moveaxis(out, 0, block_axis)
+
+
+def halo_paint_window_local(pos, shape, lattice_shape, weights=1.0, order=2,
+                            axis_name="mesh", kernel_type="rectangular",
+                            oversamp=1.0, halo=None, max_disp=8,
+                            group=(None, None, None), batch_size=8, clip=True,
+                            precision=None):
+    """Scatter-free halo painting: the slab's lattice-ordered particles are
+    painted into the extended local buffer with per-group MXU matmuls
+    (`ops.paint_window` formulation), then the halo faces ride ICI exactly
+    like `halo_paint_local`.
+
+    pos           : (n_local, 3) GLOBAL cell coords of the owned particles,
+                    locally lattice-ordered (reshapeable to the local lattice
+                    + (3,)), each within max_disp cells of its site.
+    lattice_shape : GLOBAL particle-lattice shape; its x extent is sharded
+                    over the mesh axis like `shape[0]`.
+    halo          : must cover the window margin: max_disp + order//2 + 2.
+    Returns the local core slab (X/P, Y, Z) after halo folding, equal to
+    `halo_paint_local` up to f32 summation order.
+    """
+    from montecosmo_tpu.ops.paint_window import (
+        _axis_window_weights, _clip_to_sites, _fold_axis, _pick_group,
+        _regroup,
+    )
+    from jax import checkpoint as jax_checkpoint
+
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    shape = tuple(int(s) for s in shape)
+    lattice_shape = tuple(int(s) for s in lattice_shape)
+    nx_local = shape[0] // p
+    latx_local = lattice_shape[0] // p
+    lat_local = (latx_local,) + lattice_shape[1:]
+    stride = tuple(m // l for m, l in zip((nx_local,) + shape[1:], lat_local))
+    H = tuple(int(h) for h in np.broadcast_to(max_disp, (3,)))
+    margin = tuple(h + order // 2 + 2 for h in H)
+    if halo is None:
+        halo = margin[0]
+    assert halo >= margin[0], (
+        f"halo ({halo}) must cover the window margin ({margin[0]})")
+    nx_ext = nx_local + 2 * halo
+    dtype = pos.dtype
+
+    default_g = (min(8, latx_local), 8, _pick_group(lat_local[2], 64))
+    G = tuple(_pick_group(l, d if g is None else g)
+              for l, g, d in zip(lat_local, group, default_g))
+    W = tuple(g * s + 2 * m for g, s, m in zip(G, stride, margin))
+    nG = tuple(l // g for l, g in zip(lat_local, G))
+    Pg = int(np.prod(G))
+
+    # extended-local coordinates: x sites at i*stride_x + halo (static)
+    offset = jnp.asarray([1.0, 0.0, 0.0], dtype) * (
+        (idx * nx_local - halo).astype(dtype))
+    lpos = (pos - offset).reshape(lat_local + (3,))
+    if clip:
+        site0 = jnp.asarray([halo, 0, 0], dtype)
+        lpos = _clip_to_sites(lpos - site0, lat_local, stride, H) + site0
+    weights = jnp.broadcast_to(jnp.asarray(weights, dtype),
+                               (int(np.prod(lat_local)),)).reshape(lat_local)
+    posg = _regroup(lpos, lat_local, nG, G, (3,))
+    wg = _regroup(weights, lat_local, nG, G, ())
+
+    gidx = jnp.stack(jnp.meshgrid(*(jnp.arange(n) for n in nG),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    # x windows start at gx*Gx*sx + halo - margin (>= 0, no wrap); y/z bases
+    # are periodic exactly as in paint_window
+    bases = gidx * jnp.asarray([g * s for g, s in zip(G, stride)]) \
+        + jnp.asarray([halo - margin[0], -margin[1], -margin[2]])
+
+    def body(args):
+        pg, w, b = args
+        ax = _axis_window_weights(pg[:, 0] - b[0].astype(dtype), W[0], order,
+                                  kernel_type, oversamp)
+        ay = _axis_window_weights(pg[:, 1] - b[1].astype(dtype), W[1], order,
+                                  kernel_type, oversamp)
+        az = _axis_window_weights(pg[:, 2] - b[2].astype(dtype), W[2], order,
+                                  kernel_type, oversamp)
+        oh_xy = (ax[:, :, None] * ay[:, None, :]).reshape(Pg, W[0] * W[1])
+        return jnp.einsum("pr,pz->rz", oh_xy, az * w[:, None],
+                          preferred_element_type=dtype, precision=precision)
+
+    blocks = lax.map(jax_checkpoint(body), (posg, wg, bases),
+                     batch_size=batch_size)
+    blocks = blocks.reshape(nG + (W[0], W[1], W[2]))
+
+    out = _fold_axis(blocks, shape[2], G[2] * stride[2], -margin[2],
+                     block_axis=2, win_axis=5)
+    out = _fold_axis(out, shape[1], G[1] * stride[1], -margin[1],
+                     block_axis=1, win_axis=4)
+    out = _fold_axis_ext(out, nx_ext, G[0] * stride[0], halo - margin[0],
+                         block_axis=0, win_axis=3)
+    return _halo_exchange_add(out, halo, axis_name)
+
+
+def halo_paint_window(pos_sharded, shape, lattice_shape, mesh: Mesh,
+                      weights=1.0, order=2, axis_name="mesh", **kw):
+    """Whole-array wrapper for `halo_paint_window_local` (lattice-ordered
+    particles sharded by slab on their leading axis)."""
+    def body(pos, wgt):
+        return halo_paint_window_local(pos, shape, lattice_shape, weights=wgt,
+                                       order=order, axis_name=axis_name, **kw)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name), P() if np.ndim(weights) == 0 else P(axis_name)),
+        out_specs=P(axis_name, None, None))
+    return fn(pos_sharded, jnp.asarray(weights, jnp.asarray(pos_sharded).dtype))

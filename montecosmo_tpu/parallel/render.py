@@ -33,7 +33,7 @@ from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat
 from montecosmo_tpu.parallel.fft import (
     _pencil_irfftn_local, _pencil_rfftn_local, pencil_rfftk,
 )
-from montecosmo_tpu.parallel.halo import halo_paint_local
+from montecosmo_tpu.parallel.halo import halo_paint_local, halo_paint_window_local
 from montecosmo_tpu.utils.safe import safe_div
 
 
@@ -97,6 +97,23 @@ def _local_lattice(rshape, axis_name):
     return jnp.stack(jnp.meshgrid(ax, ay, az, indexing="ij"), -1)
 
 
+
+
+def _paint_local(pos, rshape, weights, order, axis_name, halo, method="auto"):
+    """Paint the slab's lattice-ordered particles: scatter-free window matmuls
+    (ops.paint_window via halo_paint_window_local) when the halo covers the
+    window margin, else the scatter path.  Callers whose particles are NOT
+    lattice-ordered (post-resort N-body) must pass method="scatter"."""
+    md = halo - (order // 2 + 2)
+    # window only when the bound is meaningful (>= 4 cells); tighter halos
+    # would clip real displacements — fall back to the scatter
+    if method != "scatter" and md >= 4:
+        return halo_paint_window_local(pos, rshape, rshape, weights=weights,
+                                       order=order, axis_name=axis_name,
+                                       halo=halo, max_disp=md, clip=True)
+    return halo_paint_local(pos, rshape, weights=weights, order=order,
+                            axis_name=axis_name, halo=halo)
+
 def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
                               pow_interp, axis_name="mesh", halo=8,
                               paint_order=2, lpt_order=1):
@@ -123,7 +140,7 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
             disp -= growth2 * jnp.stack(grads2, -1)
 
         pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
-        return halo_paint_local(pos, rshape, weights=1.0, order=paint_order,
+        return _paint_local(pos, rshape, weights=1.0, order=paint_order,
                                 axis_name=axis_name, halo=halo)
 
     # jit: stages kernel construction (axon rejects eager complex ops) and
@@ -286,9 +303,8 @@ def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
             disp = disp.at[..., 2].add(shift_z)
 
         pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
-        return halo_paint_local(pos, rshape, weights=weights.reshape(-1),
-                                order=paint_order, axis_name=axis_name,
-                                halo=halo)
+        return _paint_local(pos, rshape, weights.reshape(-1), paint_order,
+                            axis_name, halo)
 
     return body
 

@@ -126,10 +126,11 @@ def test_paint_auto_gate():
     """auto enables the window path only when the clip bound covers the
     displacement scale and the lattice divides the meshes."""
     assert make(paint_method="auto").paint_lattice == (8, 8, 8)
-    # auto grows max_disp to cover ~45 Mpc/h of displacement
+    # auto picks the smallest bound covering ~36 Mpc/h of displacement
     m = make(paint_method="auto", cell_length=5.0)
-    assert m.paint_lattice == (8, 8, 8) and m.max_disp == 9
-    # 45 Mpc/h at 1 Mpc/h cells needs a 45-cell window -> scatter fallback
+    assert m.paint_lattice == (8, 8, 8) and m.max_disp == 8
+    assert make(paint_method="auto", cell_length=40.0).max_disp == 4
+    # 36 Mpc/h at 1 Mpc/h cells needs a 36-cell window -> scatter fallback
     assert make(paint_method="auto",
                 cell_length=1.0).paint_lattice is None
     # non-integer refinement -> scatter fallback

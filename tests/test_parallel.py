@@ -118,3 +118,35 @@ def test_map_chains(rng):
     xs = jnp.arange(float(n_chains))
     out = map_chains(one_chain, n_chains)(keys, xs)
     np.testing.assert_allclose(np.asarray(out["y"]), np.asarray(xs) * 2)
+
+
+def test_halo_paint_window_matches_paint(mesh, rng):
+    """Scatter-free halo painting == plain paint for slab-sharded
+    lattice-ordered particles."""
+    from montecosmo_tpu.parallel.halo import halo_paint_window
+
+    m = spatial_mesh(mesh)
+    shape = lat = (64, 16, 16)
+    sites = np.stack(np.meshgrid(*(np.arange(s) for s in shape),
+                                 indexing="ij"), -1).reshape(-1, 3)
+    disp = rng.uniform(-3, 3, size=sites.shape)
+    pos = jnp.asarray(sites + disp, jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, size=len(pos)), jnp.float32)
+
+    got = halo_paint_window(pos, shape, lat, m, weights=w, order=2,
+                            max_disp=3, halo=6)
+    expect = paint(pos % jnp.asarray(shape, jnp.float32), shape, w, order=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradient parity through the shard_map
+    probe = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    g_got = jax.grad(lambda p, w: jnp.vdot(halo_paint_window(
+        p, shape, lat, m, weights=w, order=2, max_disp=3, halo=6), probe),
+        (0, 1))(pos, w)
+    g_ref = jax.grad(lambda p, w: jnp.vdot(paint(
+        p % jnp.asarray(shape, jnp.float32), shape, w, order=2), probe),
+        (0, 1))(pos, w)
+    for r, g, name in zip(g_ref, g_got, ("pos", "weights")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
