@@ -1,0 +1,55 @@
+"""ESS/hour report from a campaign directory's chains.
+
+Usage: python run/ess_report.py <save_dir> <campaign_wall_seconds> [--platform cpu]
+
+Computes the multivariate/per-parameter effective sample size of the
+cosmological + bias scalars over the saved runs (all chains pooled the
+Gelman way: ESS summed over chains from the per-chain autocorrelation),
+and divides by the sampling wall time.
+"""
+import argparse
+import glob
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("save_dir")
+    ap.add_argument("wall_s", type=float)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from jax import numpy as jnp
+    from montecosmo_tpu.metrics import effective_sample_size
+    from montecosmo_tpu.utils.io import h5load
+
+    files = sorted(glob.glob(f"{args.save_dir}/chains/run_*.h5"))
+    files = [f for f in files if "last_state" not in f]
+    assert files, f"no runs in {args.save_dir}"
+    runs = [h5load(f) for f in files]
+
+    report = {}
+    for key in ("Omega_m", "sigma8", "b1", "b2", "bs2", "ngbars"):
+        k_ = key + "_"
+        if k_ not in runs[0]:
+            continue
+        x = np.concatenate([np.asarray(r[k_]) for r in runs], axis=1)
+        x = x.reshape(x.shape[0], -1)  # (chains, samples)
+        ess = float(np.asarray(effective_sample_size(jnp.asarray(x))))
+        report[key] = ess
+
+    hours = args.wall_s / 3600.0
+    print(f"runs: {len(files)}, chains x samples: {x.shape}, "
+          f"wall: {args.wall_s:.0f} s")
+    for k, v in report.items():
+        print(f"  {k:8s}: ESS {v:8.1f}  -> {v / hours:8.1f} ESS/hour")
+    worst = min(report.values())
+    print(f"worst-parameter ESS/hour: {worst / hours:.1f}")
+
+
+if __name__ == "__main__":
+    main()

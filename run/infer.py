@@ -28,6 +28,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
           n_chains=4, tune_mass=True, n_steps_field=2**12, dev_field=1e-5,
           n_steps_full=2**13, dev_full=1e-7, n_samples=None, n_runs=8,
           thinning=64, scale_fid_fac=1.0, save_root="results"):
+    import jax
     from jax import config as jconfig, devices as jdevices, numpy as jnp
 
     from montecosmo_tpu import FieldLevelModel, default_config
@@ -94,9 +95,10 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
         del pred
 
     model.save(save_dir / "model.yaml")
-    logpdf_fid = model.logpdf(model.reparam(
-        model.fiduc | {"white_mesh": model.white_mesh,
-                       "count_mesh": model.count_mesh}, inv=True))
+    # jit the whole check: eager reparam ops hit UNIMPLEMENTED on axon
+    logpdf_fid = jax.jit(lambda d: model.logpdf(model.reparam(d, inv=True)))(
+        model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh),
+                       "count_mesh": jnp.asarray(model.count_mesh)})
     print("logpdf of fiduc:", logpdf_fid, "\n")
     if not np.isfinite(float(logpdf_fid)):
         raise ValueError("fiducial logpdf is infinite or nan")
