@@ -42,7 +42,7 @@ class ShardedFieldLevelModel:
                  cosmology: Cosmology = None, bias=None, rsd=True,
                  lpt_order=1, noise_std=1.0, lik_type="gauss", selection=None,
                  ngbar=1.0, png=None, fNL=0.0, halo=None, paint_order=2,
-                 axis_name="mesh"):
+                 axis_name="mesh", stoch=None):
         self.mesh_shape = tuple(int(s) for s in mesh_shape)
         self.box_size = tuple(float(b) for b in np.broadcast_to(
             np.asarray(box_size, float), (3,)))
@@ -57,6 +57,7 @@ class ShardedFieldLevelModel:
         self.lik_type = str(lik_type)
         self.ngbar = float(ngbar)
         self.png = None if png is None else dict(png)
+        self.stoch = None if stoch is None else dict(stoch)
         self.fNL = float(fNL)
         self.paint_order = int(paint_order)
 
@@ -113,6 +114,29 @@ class ShardedFieldLevelModel:
                 lambda k, m, s: jr.poisson(
                     k, jnp.maximum(self.ngbar * s * m, 1e-6)).astype(m.dtype),
                 out_shardings=self._sharding)
+        elif self.lik_type in ("quad_gauss", "two_quad_gauss", "shash"):
+            # sample from the pointwise stochasticity family (matches the
+            # likelihood in parallel/render.py::sharded_field_logpdf)
+            from montecosmo_tpu.models.distributions import (
+                QuadGaussian, SinhArcsinh, TwoQuadGaussian,
+            )
+            st = {"s_e": 1.0, "s_ed": 0.0, "s_e2": 0.0, **(self.stoch or {})}
+
+            def _sample(k, m, s):
+                loc = self.ngbar * s * m
+                ssq = jnp.sqrt(jnp.maximum(s, 0.0) * self.ngbar)
+                s1 = jnp.abs(st["s_e"] + st["s_ed"] * (m - 1.0)) * ssq + 1e-9
+                s2 = st["s_e2"] * ssq
+                if self.lik_type == "quad_gauss":
+                    return QuadGaussian(loc, s1, s2).sample(k)
+                if self.lik_type == "two_quad_gauss":
+                    return TwoQuadGaussian(loc, s1, s2).sample(k)
+                ratio = s2 / s1
+                return SinhArcsinh(loc, (s1**2 + 2 * s2**2) ** 0.5,
+                                   3.540 * ratio,
+                                   1 + 5.884 * ratio**2).sample(k)
+
+            noise_fn = jax.jit(_sample, out_shardings=self._sharding)
         else:
             noise_fn = jax.jit(
                 lambda k, m, s: (s > 0) * (
@@ -130,7 +154,8 @@ class ShardedFieldLevelModel:
             noise_std=self.noise_std, lik_type=self.lik_type,
             selection=self.selection, ngbar=self.ngbar, png=self.png,
             fNL=self.fNL, axis_name=self.axis_name, halo=self.halo,
-            paint_order=self.paint_order, lpt_order=self.lpt_order)
+            paint_order=self.paint_order, lpt_order=self.lpt_order,
+            stoch=self.stoch)
 
     def potential(self, white, obs):
         return -self.logpdf(white, obs)

@@ -334,15 +334,18 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
                          pow_interp, bias=None, rsd=False, noise_std=1.0,
                          lik_type="gauss", selection=None, ngbar=1.0,
                          png=None, fNL=0.0, axis_name="mesh", halo=8,
-                         paint_order=2, lpt_order=1):
+                         paint_order=2, lpt_order=1, stoch=None):
     """Fully decomposed field-level log-posterior: standard-normal prior on
     the X-sharded white-noise latent plus a field likelihood on the biased
     (RSD) observable, reduced with one psum.
 
-    lik_type  : 'gauss' (obs ~ N(dens, noise_std), masked by selection > 0)
-                or 'poisson' (obs ~ Poisson(ngbar * selection * dens),
-                reference likelihood.py:62-88 re-derived for the sharded
-                layout; dens floored at 1e-6 for log safety).
+    lik_type  : 'gauss' (obs ~ N(dens, noise_std), masked by selection > 0),
+                'poisson' (obs ~ Poisson(ngbar * selection * dens), floored
+                at 1e-6 for log safety), or the pointwise stochasticity
+                families of the single-chip model — 'quad_gauss',
+                'two_quad_gauss', 'shash' (models/distributions.py run
+                directly on the local slab; `stoch` supplies
+                s_e / s_ed / s_e2, mirroring FieldLevelModel.likelihood).
     selection : optional X-sharded response/mask mesh multiplying the mean
                 (None -> unit coverage).
 
@@ -353,7 +356,9 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
     collective program.
     Returns a replicated scalar.
     """
-    assert lik_type in ("gauss", "poisson"), lik_type
+    assert lik_type in ("gauss", "poisson", "quad_gauss",
+                        "two_quad_gauss", "shash"), lik_type
+    stoch = {"s_e": 1.0, "s_ed": 0.0, "s_e2": 0.0, **(stoch or {})}
     render = _observable_body(tuple(int(s) for s in white.shape), box_size,
                               bg, a, pow_interp, bias, rsd, axis_name, halo,
                               paint_order, lpt_order, png=png, fNL=fNL)
@@ -364,9 +369,30 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
         if lik_type == "gauss":
             resid = (sel_local * d_local - o_local) * (sel_local > 0)
             lik = -0.5 * jnp.sum(resid**2) / noise_std**2
-        else:  # poisson counts: rate = ngbar * selection * dens
+        elif lik_type == "poisson":  # rate = ngbar * selection * dens
             rate = jnp.maximum(ngbar * sel_local * d_local, 1e-6)
             lik = jnp.sum(o_local * jnp.log(rate) - rate)
+        else:
+            # pointwise stochasticity families (model.py likelihood):
+            # loc = ngbar * sel * dens, scale1 = |s_e + s_ed delta| sel^0.5
+            from montecosmo_tpu.models.distributions import (
+                QuadGaussian, SinhArcsinh, TwoQuadGaussian,
+            )
+            loc = ngbar * sel_local * d_local
+            sel_sqrt = jnp.sqrt(jnp.maximum(sel_local, 0.0)) \
+                * jnp.sqrt(jnp.asarray(ngbar, loc.dtype))
+            s1 = jnp.abs(stoch["s_e"] + stoch["s_ed"] * (d_local - 1.0)) \
+                * sel_sqrt + 1e-9
+            s2 = stoch["s_e2"] * sel_sqrt
+            if lik_type == "quad_gauss":
+                dist = QuadGaussian(loc, s1, s2)
+            elif lik_type == "two_quad_gauss":
+                dist = TwoQuadGaussian(loc, s1, s2)
+            else:
+                ratio = s2 / s1
+                dist = SinhArcsinh(loc, (s1**2 + 2 * s2**2) ** 0.5,
+                                   3.540 * ratio, 1 + 5.884 * ratio**2)
+            lik = jnp.sum(dist.log_prob(o_local))
         return lax.psum(prior + lik, axis_name)
 
     if selection is None:

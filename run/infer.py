@@ -95,10 +95,21 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
         del pred
 
     model.save(save_dir / "model.yaml")
-    # jit the whole check: eager reparam ops hit UNIMPLEMENTED on axon
-    logpdf_fid = jax.jit(lambda d: model.logpdf(model.reparam(d, inv=True)))(
-        model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh),
-                       "count_mesh": jnp.asarray(model.count_mesh)})
+    # jit the whole check (eager complex ops are rejected on axon) and retry:
+    # the remote compile service intermittently returns a transient
+    # UNIMPLEMENTED for valid programs (observed twice on identical HLO that
+    # compiled fine on retry)
+    _fid = model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh),
+                          "count_mesh": jnp.asarray(model.count_mesh)}
+    for _attempt in range(3):
+        try:
+            logpdf_fid = jax.jit(
+                lambda d: model.logpdf(model.reparam(d, inv=True)))(_fid)
+            break
+        except Exception as _e:
+            if _attempt == 2 or "UNIMPLEMENTED" not in str(_e):
+                raise
+            print(f"transient compile failure, retrying: {str(_e)[:80]}")
     print("logpdf of fiduc:", logpdf_fid, "\n")
     if not np.isfinite(float(logpdf_fid)):
         raise ValueError("fiducial logpdf is infinite or nan")

@@ -126,3 +126,17 @@ def test_mclmc_through_model_api():
         jr.key(1), state, config)
     assert np.all(np.isfinite(np.asarray(samples["logdensity"])))
     assert len(state.position["white_mesh"].sharding.device_set) == 8
+
+
+def test_sharded_stoch_likelihood_families():
+    """quad_gauss / two_quad_gauss / shash on the sharded path: finite
+    logpdf + end-to-end gradient."""
+    for lik in ("quad_gauss", "two_quad_gauss", "shash"):
+        m = make_model(lik_type=lik, ngbar=4.0,
+                       stoch={"s_e": 1.0, "s_e2": 0.02})
+        pred = m.predict(seed=0)
+        assert np.all(np.isfinite(np.asarray(pred["obs_mesh"]))), lik
+        lp, force = m.potential_and_force(pred["white_mesh"],
+                                          pred["obs_mesh"])
+        assert np.isfinite(float(lp)), lik
+        assert np.all(np.isfinite(np.asarray(force))), lik
