@@ -42,7 +42,7 @@ class ShardedFieldLevelModel:
                  cosmology: Cosmology = None, bias=None, rsd=True,
                  lpt_order=1, noise_std=1.0, lik_type="gauss", selection=None,
                  ngbar=1.0, png=None, fNL=0.0, halo=None, paint_order=2,
-                 axis_name="mesh", stoch=None):
+                 axis_name="mesh", stoch=None, ap=None):
         self.mesh_shape = tuple(int(s) for s in mesh_shape)
         self.box_size = tuple(float(b) for b in np.broadcast_to(
             np.asarray(box_size, float), (3,)))
@@ -58,6 +58,7 @@ class ShardedFieldLevelModel:
         self.ngbar = float(ngbar)
         self.png = None if png is None else dict(png)
         self.stoch = None if stoch is None else dict(stoch)
+        self.ap = None if ap is None else dict(ap)
         self.fNL = float(fNL)
         self.paint_order = int(paint_order)
 
@@ -99,7 +100,8 @@ class ShardedFieldLevelModel:
             white, self.bg, self.box_size, self.a_obs, self.device_mesh,
             self.pow_interp, bias=self.bias, rsd=self.rsd, png=self.png,
             fNL=self.fNL, axis_name=self.axis_name, halo=self.halo,
-            paint_order=self.paint_order, lpt_order=self.lpt_order)
+            paint_order=self.paint_order, lpt_order=self.lpt_order,
+            ap=self.ap)
 
     def predict(self, seed=0, white=None):
         """Sample (white, noiseless mean, noisy observation), all X-sharded."""
@@ -155,7 +157,7 @@ class ShardedFieldLevelModel:
             selection=self.selection, ngbar=self.ngbar, png=self.png,
             fNL=self.fNL, axis_name=self.axis_name, halo=self.halo,
             paint_order=self.paint_order, lpt_order=self.lpt_order,
-            stoch=self.stoch)
+            stoch=self.stoch, ap=self.ap)
 
     def potential(self, white, obs):
         return -self.logpdf(white, obs)

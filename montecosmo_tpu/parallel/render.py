@@ -154,6 +154,7 @@ def sharded_zeldovich_density(white, bg: Background, box_size, a, mesh: Mesh,
 def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
                            pow_interp, bias=None, rsd=False, png=None,
                            fNL=0.0, axis_name="mesh", halo=8, paint_order=2,
+                           ap=None,
                            lpt_order=1):
     """Biased, optionally redshift-space density on the decomposed layout:
     white -> linear -> LPT displacement + Lagrangian bias weights (operators
@@ -173,7 +174,7 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
     """
     body = _observable_body(tuple(int(s) for s in white.shape), box_size, bg,
                             a, pow_interp, bias, rsd, axis_name, halo,
-                            paint_order, lpt_order, png=png, fNL=fNL)
+                            paint_order, lpt_order, ap=ap, png=png, fNL=fNL)
     # jit: stages kernel construction (axon rejects eager complex ops) and
     # avoids per-op dispatch through the TPU tunnel
     fn = jax.jit(jax.shard_map(body, mesh=mesh,
@@ -183,7 +184,7 @@ def sharded_lpt_observable(white, bg: Background, box_size, a, mesh: Mesh,
 
 
 def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
-                     axis_name, halo, paint_order, lpt_order,
+                     axis_name, halo, paint_order, lpt_order, ap=None,
                      png=None, fNL=0.0):
     """Per-shard biased(+RSD) observable render, for composition inside a
     single shard_map (see sharded_lpt_observable / sharded_field_logpdf).
@@ -302,7 +303,18 @@ def _observable_body(rshape, box_size, bg, a, pow_interp, bias, rsd,
                                      / jnp.asarray(cell[2], local.dtype))
             disp = disp.at[..., 2].add(shift_z)
 
-        pos = (_local_lattice(rshape, axis_name) + disp).reshape(-1, 3)
+        pos = _local_lattice(rshape, axis_name) + disp
+        if ap is not None:
+            # flat-sky parametric AP about the box center (model.py applies
+            # AP after RSD too): z scales by alpha_par, x/y by alpha_perp.
+            # |alpha - 1| * extent/2 must stay inside the halo/window margin
+            # (the small-alpha regime AP is used in).
+            from montecosmo_tpu.models.bricks import isoap2parperp
+            apar, aperp = isoap2parperp(ap["alpha_iso"], ap["alpha_ap"])
+            scale = jnp.stack([aperp, aperp, apar]).astype(pos.dtype)
+            center = jnp.asarray(rshape, pos.dtype) / 2
+            pos = center + scale * (pos - center)
+        pos = pos.reshape(-1, 3)
         return _paint_local(pos, rshape, weights.reshape(-1), paint_order,
                             axis_name, halo)
 
@@ -334,7 +346,7 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
                          pow_interp, bias=None, rsd=False, noise_std=1.0,
                          lik_type="gauss", selection=None, ngbar=1.0,
                          png=None, fNL=0.0, axis_name="mesh", halo=8,
-                         paint_order=2, lpt_order=1, stoch=None):
+                         paint_order=2, lpt_order=1, stoch=None, ap=None):
     """Fully decomposed field-level log-posterior: standard-normal prior on
     the X-sharded white-noise latent plus a field likelihood on the biased
     (RSD) observable, reduced with one psum.
@@ -361,7 +373,7 @@ def sharded_field_logpdf(white, obs, bg: Background, box_size, a, mesh: Mesh,
     stoch = {"s_e": 1.0, "s_ed": 0.0, "s_e2": 0.0, **(stoch or {})}
     render = _observable_body(tuple(int(s) for s in white.shape), box_size,
                               bg, a, pow_interp, bias, rsd, axis_name, halo,
-                              paint_order, lpt_order, png=png, fNL=fNL)
+                              paint_order, lpt_order, ap=ap, png=png, fNL=fNL)
 
     def logp_local(w_local, o_local, sel_local):
         d_local = render(w_local)

@@ -101,10 +101,12 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     # compiled fine on retry)
     _fid = model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh),
                           "count_mesh": jnp.asarray(model.count_mesh)}
+    # two separate programs: the combined reparam+logpdf HLO trips the axon
+    # compiler (UNIMPLEMENTED) while each half compiles fine
     for _attempt in range(3):
         try:
-            logpdf_fid = jax.jit(
-                lambda d: model.logpdf(model.reparam(d, inv=True)))(_fid)
+            _params = jax.jit(lambda d: model.reparam(d, inv=True))(_fid)
+            logpdf_fid = jax.jit(model.logpdf)(_params)
             break
         except Exception as _e:
             if _attempt == 2 or "UNIMPLEMENTED" not in str(_e):

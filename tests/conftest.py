@@ -32,3 +32,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "nightly: slow integration tests (deselect with -m 'not nightly')")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m"):
+        return  # explicit marker expression wins
+    skip = pytest.mark.skip(reason="nightly: run with -m nightly")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)

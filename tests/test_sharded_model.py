@@ -140,3 +140,22 @@ def test_sharded_stoch_likelihood_families():
                                           pred["obs_mesh"])
         assert np.isfinite(float(lp)), lik
         assert np.all(np.isfinite(np.asarray(force))), lik
+
+
+def test_sharded_ap_param():
+    """Flat-sky parametric AP distorts the observable and keeps logpdf +
+    force finite; alpha=1 is a no-op."""
+    m_id = make_model(ap={"alpha_iso": 1.0, "alpha_ap": 1.0})
+    m_no = make_model()
+    m_ap = make_model(ap={"alpha_iso": 1.02, "alpha_ap": 0.98})
+
+    w = m_no.sample_white(seed=3)
+    d_id = np.asarray(m_id.observable(w))
+    d_no = np.asarray(m_no.observable(w))
+    d_ap = np.asarray(m_ap.observable(w))
+    np.testing.assert_allclose(d_id, d_no, rtol=1e-5, atol=1e-5)
+    assert np.abs(d_ap - d_no).max() > 1e-3  # AP actually moved mass
+
+    pred = m_ap.predict(seed=4)
+    lp, force = m_ap.potential_and_force(pred["white_mesh"], pred["obs_mesh"])
+    assert np.isfinite(float(lp)) and np.all(np.isfinite(np.asarray(force)))
