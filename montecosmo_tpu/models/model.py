@@ -391,6 +391,11 @@ class FieldLevelModel(Model):
             if self.lin_kpow is not None and isinstance(self.lin_kpow, dict):
                 self.lin_kpow = (self.lin_kpow["k"], self.lin_kpow["pow"])
             self.white_mesh = reg.get("white_mesh", reg.get("white_fake"))
+            if self.white_mesh is not None and np.iscomplexobj(self.white_mesh):
+                # complex host->device uploads are UNIMPLEMENTED on the TPU
+                # runtime: combine real/imag on device once at load
+                from montecosmo_tpu.utils.io import to_jnp
+                self.white_mesh = to_jnp(self.white_mesh)
             self.selec_mesh = reg.get("selec_mesh", np.array(1.0))
             self.mask_mesh = reg.get("mask_mesh")
             if self.mask_mesh is not None:

@@ -53,6 +53,20 @@ def to_np(x):
     return np.asarray(x)
 
 
+def to_jnp(x):
+    """Host array -> device, uploading complex arrays as separate real/imag
+    parts combined under jit (complex host->device transfers are
+    UNIMPLEMENTED on the TPU runtime, mirroring `to_np`)."""
+    import jax
+    from jax import numpy as jnp
+
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        return jax.jit(lambda r, i: r + 1j * i)(
+            np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag))
+    return jnp.asarray(x)
+
+
 # ----------------------------------------------------------------------------- hdf5
 def h5save(path, data: dict):
     """Save a (possibly nested) dict to HDF5.
