@@ -401,7 +401,10 @@ class FieldLevelModel(Model):
             if self.mask_mesh is not None:
                 self.mask_mesh = np.asarray(self.mask_mesh, bool)
             if self.lik_type == "fourier_gauss":
-                self.count_mesh = cgh2rg(jnp.fft.rfftn(jnp.asarray(reg["count_mesh"])))
+                # jit: eager rfftn/repack are complex ops (axon rejects them)
+                self.count_mesh = jax.jit(
+                    lambda m: cgh2rg(jnp.fft.rfftn(m)))(
+                    jnp.asarray(np.asarray(reg["count_mesh"], np.float32)))
             else:
                 self.count_mesh = mesh2masked(jnp.asarray(reg["count_mesh"]),
                                               self.mask_mesh)

@@ -32,6 +32,24 @@ from montecosmo_tpu.samplers import (
 from montecosmo_tpu.utils.io import h5load, h5load_tree, h5save, h5save_tree
 from montecosmo_tpu.utils.profiling import phase
 
+# The axon TPU tunnel kills device programs that run longer than ~30-60 s
+# ("TPU worker process crashed", kernel fault). Long scans are therefore
+# CHUNKED at the host level into programs of at most this many MCLMC steps
+# (0 = unchunked). Warmup segments re-enter the tuner with the carried
+# config; run chunks carry the integrator state exactly.
+MAX_STEPS_PER_CALL = int(os.environ.get("MONTECOSMO_MAX_STEPS_PER_CALL", 128))
+
+
+def _segments(n_steps, max_steps):
+    if not max_steps or n_steps <= max_steps:
+        return [n_steps]
+    n_seg = -(-n_steps // max_steps)
+    base = n_steps // n_seg
+    sizes = [base] * n_seg
+    for i in range(n_steps - base * n_seg):
+        sizes[i] += 1
+    return sizes
+
 
 def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
                  scale_field=7 / 8, seed=43, overwrite=False):
@@ -55,12 +73,16 @@ def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
 
     if not state_path.exists() or overwrite:
         print("Field warmup...")
-        warmup_fn = map_chains(get_mclmc_warmup(
-            model.logpdf, n_steps=n_steps, config=None,
-            desired_energy_var=desired_energy_var,
-            diagonal_preconditioning=False), n_chains)
         with phase("field_warmup"):
-            state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_start)
+            config, pos, key = None, params_start, jr.key(seed)
+            for seg in _segments(n_steps, MAX_STEPS_PER_CALL):
+                key, k = jr.split(key)
+                warmup_fn = map_chains(get_mclmc_warmup(
+                    model.logpdf, n_steps=seg, config=config,
+                    desired_energy_var=desired_energy_var,
+                    diagonal_preconditioning=False), n_chains)
+                state, config = warmup_fn(jr.split(k, n_chains), pos)
+                pos = state.position
         h5save_tree(state_path, state)
         h5save_tree(conf_path, config)
     else:
@@ -131,12 +153,16 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             params_warm |= state_field.position
         print("Full warmup params:", list(params_warm))
 
-        warmup_fn = map_chains(get_mclmc_warmup(
-            model.logpdf, n_steps=n_steps, config=None,
-            desired_energy_var=desired_energy_var,
-            diagonal_preconditioning=tune_mass), n_chains)
         with phase("full_warmup"):
-            state, config = warmup_fn(jr.split(jr.key(seed), n_chains), params_warm)
+            config, pos, key = None, params_warm, jr.key(seed)
+            for seg in _segments(n_steps, MAX_STEPS_PER_CALL):
+                key, k = jr.split(key)
+                warmup_fn = map_chains(get_mclmc_warmup(
+                    model.logpdf, n_steps=seg, config=config,
+                    desired_energy_var=desired_energy_var,
+                    diagonal_preconditioning=tune_mass), n_chains)
+                state, config = warmup_fn(jr.split(k, n_chains), pos)
+                pos = state.position
         print_mclmc_config(config, state)
 
         ss = jnp.median(config.step_size)
@@ -173,8 +199,8 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         print(f"Resuming at run {start}...")
 
     print("Running...")
-    run_fn = map_chains(get_mclmc_run(model.logpdf, n_samples, thinning=thinning,
-                                      progress_bar=False), n_chains)
+    max_samp = max(1, MAX_STEPS_PER_CALL // max(1, thinning)) \
+        if MAX_STEPS_PER_CALL else n_samples
     key = jr.key(seed)
     for _ in range(1, start):  # fresh randomness for resumed runs
         key, _ = jr.split(key, 2)
@@ -183,7 +209,17 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         print(f"run {i_run}/{n_runs}")
         key, run_key = jr.split(key, 2)
         with phase("full_run"):
-            state, samples = run_fn(jr.split(run_key, n_chains), state, config)
+            chunks = []
+            for seg in _segments(n_samples, max_samp):
+                run_fn = map_chains(get_mclmc_run(
+                    model.logpdf, seg, thinning=thinning,
+                    progress_bar=False), n_chains)
+                run_key, k = jr.split(run_key)
+                state, part = run_fn(jr.split(k, n_chains), state, config)
+                chunks.append(part)
+            samples = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *chunks) \
+                if len(chunks) > 1 else chunks[0]
 
         print("MSE per dim:", np.asarray(jnp.mean(samples["mse_per_dim"], 1)), "\n")
         h5save(chains_dir / f"run_{i_run}.h5",
