@@ -168,6 +168,37 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
 
     steps1 = n_steps // 2
     steps2 = n_steps - steps1
+
+    carry = _warmup_carry0(state, config, flat.dtype, d)
+    keys1, keys2 = jr.split(tune_seed)
+    carry = _warmup_chunk(carry, jr.split(keys1, steps1), False, logdf,
+                          desired_energy_var, num_effective_samples,
+                          trust_in_estimate)
+    carry = _warmup_chunk(carry, jr.split(keys2, steps2), True, logdf,
+                          desired_energy_var, num_effective_samples,
+                          trust_in_estimate)
+    return _warmup_finalize(carry, diagonal_preconditioning)
+
+
+def _warmup_carry0(state, config, dtype, d):
+    """Initial adaptation carry (see mclmc_warmup)."""
+    F0 = jnp.zeros((), dtype)
+    W0 = jnp.zeros((), dtype)
+    cap0 = jnp.asarray(jnp.inf, dtype)
+    xi0 = (jnp.zeros((), dtype), jnp.zeros((), dtype))
+    mom0 = (jnp.zeros((), dtype), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
+    return (state, config, (F0, W0, cap0, xi0), mom0)
+
+
+def _warmup_chunk(carry, keys, stream_moments, logdf, desired_energy_var=5e-4,
+                  num_effective_samples=256, trust_in_estimate=1.5):
+    """Scan a chunk of warmup steps over `keys`, returning the carry.
+
+    Pure and vmappable: long warmups are CHUNKED at the host level (the axon
+    runtime kills device programs over ~30-60 s) by slicing the key array —
+    the adaptation trajectory is bit-identical to one long scan.
+    """
+    d = _ravel(carry[0].position)[0].shape[0]
     gamma = (num_effective_samples - 1.0) / (num_effective_samples + 1.0)
 
     def make_phase(stream_moments):
@@ -211,17 +242,14 @@ def mclmc_warmup(seed, init_pos, logdf, n_steps=0, config=None,
 
         return step
 
-    F0 = jnp.zeros((), flat.dtype)
-    W0 = jnp.zeros((), flat.dtype)
-    cap0 = jnp.asarray(jnp.inf, flat.dtype)
-    xi0 = (jnp.zeros((), flat.dtype), jnp.zeros((), flat.dtype))
-    mom0 = (jnp.zeros((), flat.dtype), jnp.zeros(d, flat.dtype), jnp.zeros(d, flat.dtype))
+    return lax.scan(make_phase(stream_moments), carry, keys)[0]
 
-    carry = (state, config, (F0, W0, cap0, xi0), mom0)
-    keys1, keys2 = jr.split(tune_seed)
-    carry, _ = lax.scan(make_phase(False), carry, jr.split(keys1, steps1))
-    carry, _ = lax.scan(make_phase(True), carry, jr.split(keys2, steps2))
+
+def _warmup_finalize(carry, diagonal_preconditioning):
+    """Final (state, MCLMCAdaptationState) from the adaptation carry."""
     state, params, (_, _, _, (xi_num, xi_den)), (w_sum, x_sum, x2_sum) = carry
+    flat, _ = _ravel(state.position)
+    d = flat.shape[0]
 
     # rescale so the ARITHMETIC mean of xi is ~1 (log averaging targets the
     # geometric mean, which undershoots for heavy-tailed energy errors)

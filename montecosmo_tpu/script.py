@@ -23,11 +23,16 @@ from pathlib import Path
 
 import numpy as np
 import jax
+import jax.flatten_util
 from jax import jit, numpy as jnp, random as jr, vmap
 
 from montecosmo_tpu.parallel.chains import map_chains
 from montecosmo_tpu.samplers import (
     IntegratorState, MCLMCAdaptationState, get_mclmc_run, get_mclmc_warmup,
+)
+from montecosmo_tpu.samplers.mclmc import (
+    MCLMCAdaptationState as _AdaptState, _warmup_carry0, _warmup_chunk,
+    _warmup_finalize, mclmc_init,
 )
 from montecosmo_tpu.utils.io import h5load, h5load_tree, h5save, h5save_tree
 from montecosmo_tpu.utils.profiling import phase
@@ -38,6 +43,61 @@ from montecosmo_tpu.utils.profiling import phase
 # (0 = unchunked). Warmup segments re-enter the tuner with the carried
 # config; run chunks carry the integrator state exactly.
 MAX_STEPS_PER_CALL = int(os.environ.get("MONTECOSMO_MAX_STEPS_PER_CALL", 128))
+
+
+def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
+                      n_chains, key, pos):
+    """MCLMC warmup chunked into <= MAX_STEPS_PER_CALL-step device programs.
+
+    The adaptation carry is threaded across chunks, so the tuning trajectory
+    is IDENTICAL to one monolithic warmup (same per-step keys): only the
+    host/device dispatch boundary moves — required on the axon runtime,
+    which kills device programs running longer than ~30-60 s.
+    """
+    if not MAX_STEPS_PER_CALL or n_steps <= MAX_STEPS_PER_CALL:
+        fn = map_chains(get_mclmc_warmup(
+            logpdf, n_steps=n_steps, config=None,
+            desired_energy_var=desired_energy_var,
+            diagonal_preconditioning=tune_mass), n_chains)
+        return fn(jr.split(key, n_chains), pos)
+
+    steps1 = n_steps // 2
+    steps2 = n_steps - steps1
+
+    def prep_keys(seed):  # mirrors mclmc_warmup's key bookkeeping exactly
+        init_seed, tune_seed = jr.split(seed, 2)
+        k1, k2 = jr.split(tune_seed)
+        return init_seed, jr.split(k1, steps1), jr.split(k2, steps2)
+
+    seeds = jr.split(key, n_chains)
+    init_seeds, keys1, keys2 = jit(vmap(prep_keys))(seeds)
+
+    def init_carry(init_seed, p):
+        state = mclmc_init(p, logpdf, init_seed)
+        flat = jax.flatten_util.ravel_pytree(state.position)[0]
+        d = flat.shape[0]
+        config = _AdaptState(jnp.asarray(d**0.5, flat.dtype),
+                             jnp.asarray(d**0.5 / 1e4, flat.dtype),
+                             inverse_mass_matrix=jnp.ones(d, flat.dtype))
+        return _warmup_carry0(state, config, flat.dtype, d)
+
+    carry = jit(vmap(init_carry))(init_seeds, pos)
+    chunk1 = jit(vmap(partial(_warmup_chunk, stream_moments=False,
+                              logdf=logpdf,
+                              desired_energy_var=desired_energy_var)))
+    chunk2 = jit(vmap(partial(_warmup_chunk, stream_moments=True,
+                              logdf=logpdf,
+                              desired_energy_var=desired_energy_var)))
+    i = 0
+    for seg in _segments(steps1, MAX_STEPS_PER_CALL):
+        carry = chunk1(carry, keys=keys1[:, i:i + seg])
+        i += seg
+    i = 0
+    for seg in _segments(steps2, MAX_STEPS_PER_CALL):
+        carry = chunk2(carry, keys=keys2[:, i:i + seg])
+        i += seg
+    return jit(vmap(partial(_warmup_finalize,
+                            diagonal_preconditioning=tune_mass)))(carry)
 
 
 def _segments(n_steps, max_steps):
@@ -74,15 +134,9 @@ def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
     if not state_path.exists() or overwrite:
         print("Field warmup...")
         with phase("field_warmup"):
-            config, pos, key = None, params_start, jr.key(seed)
-            for seg in _segments(n_steps, MAX_STEPS_PER_CALL):
-                key, k = jr.split(key)
-                warmup_fn = map_chains(get_mclmc_warmup(
-                    model.logpdf, n_steps=seg, config=config,
-                    desired_energy_var=desired_energy_var,
-                    diagonal_preconditioning=False), n_chains)
-                state, config = warmup_fn(jr.split(k, n_chains), pos)
-                pos = state.position
+            state, config = _segmented_warmup(
+                model.logpdf, n_steps, desired_energy_var, False, n_chains,
+                jr.key(seed), params_start)
         h5save_tree(state_path, state)
         h5save_tree(conf_path, config)
     else:
@@ -154,15 +208,9 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
         print("Full warmup params:", list(params_warm))
 
         with phase("full_warmup"):
-            config, pos, key = None, params_warm, jr.key(seed)
-            for seg in _segments(n_steps, MAX_STEPS_PER_CALL):
-                key, k = jr.split(key)
-                warmup_fn = map_chains(get_mclmc_warmup(
-                    model.logpdf, n_steps=seg, config=config,
-                    desired_energy_var=desired_energy_var,
-                    diagonal_preconditioning=tune_mass), n_chains)
-                state, config = warmup_fn(jr.split(k, n_chains), pos)
-                pos = state.position
+            state, config = _segmented_warmup(
+                model.logpdf, n_steps, desired_energy_var, tune_mass,
+                n_chains, jr.key(seed), params_warm)
         print_mclmc_config(config, state)
 
         ss = jnp.median(config.step_size)

@@ -143,3 +143,41 @@ def test_optimize():
     params, values = optimize(potential, init_pos(), lr0=0.3, n_epochs=400)
     np.testing.assert_allclose(np.asarray(params["x"]), 3.0, atol=0.05)
     assert float(values[-1]) < float(values[0])
+
+
+def test_segmented_warmup_matches_monolithic(rng):
+    """script._segmented_warmup threads the adaptation carry across chunks:
+    the tuned config must match a monolithic warmup (same per-step keys;
+    only f32 fusion roundoff differs across the jit boundaries)."""
+    import montecosmo_tpu.script as script
+    from montecosmo_tpu.parallel import map_chains
+    from montecosmo_tpu.samplers import get_mclmc_warmup
+    from jax import random as jr
+
+    def logdf(params):
+        x = params["x"]
+        return -0.5 * jnp.sum(x ** 2) - 0.1 * jnp.sum(x ** 4)
+
+    n_chains, n_steps = 2, 40
+    pos = {"x": jnp.asarray(rng.standard_normal((n_chains, 16)), jnp.float32)}
+    key = jr.key(3)
+
+    mono = map_chains(get_mclmc_warmup(logdf, n_steps=n_steps,
+                                       desired_energy_var=1e-4), n_chains)(
+        jr.split(key, n_chains), pos)
+
+    old = script.MAX_STEPS_PER_CALL
+    script.MAX_STEPS_PER_CALL = 7  # uneven chunks on purpose
+    try:
+        seg = script._segmented_warmup(logdf, n_steps, 1e-4, False,
+                                       n_chains, key, pos)
+    finally:
+        script.MAX_STEPS_PER_CALL = old
+
+    # chunk boundaries change XLA fusion, so f32 roundoff accumulates
+    # through the chaotic dynamics: configs agree statistically, not bitwise
+    np.testing.assert_allclose(np.asarray(seg[1].step_size),
+                               np.asarray(mono[1].step_size), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(seg[1].L),
+                               np.asarray(mono[1].L), rtol=0.05)
+    assert np.isfinite(np.asarray(seg[0].position["x"])).all()
