@@ -33,19 +33,18 @@ from montecosmo_tpu.models.truncnorm import std2trunc, trunc2std
 from montecosmo_tpu.utils.safe import nvmap
 
 
-def _log1mexp(x):
-    """Stable log(1 - exp(x)) for x <= 0."""
-    return jnp.where(x > -jnp.log(2.0),
-                     jnp.log(-jnp.expm1(x)),
-                     jnp.log1p(-jnp.exp(x)))
+def _norm_logcdf_interval(lo, hi):
+    """log(Phi(hi) - Phi(lo)) for hi >= lo, fully in log space.
 
-
-def _log_diff_cdf(hi, lo):
-    """log(Phi(hi) - Phi(lo)) for hi >= lo, evaluated on the accurate tail."""
-    use_upper = (hi + lo) > 0
-    lower = norm.logcdf(hi) + _log1mexp(norm.logcdf(lo) - norm.logcdf(hi))
-    upper = norm.logcdf(-lo) + _log1mexp(norm.logcdf(-hi) - norm.logcdf(-lo))
-    return jnp.where(use_upper, upper, lower)
+    Reflect the interval onto the half-line where `logcdf` uses its accurate
+    asymptotic branch (endpoints <= 0), then log-subtract with expm1:
+    log(Phi(b) - Phi(a)) = logcdf(b) + log(-expm1(logcdf(a) - logcdf(b))).
+    """
+    flip = lo + hi > 0
+    a = jnp.where(flip, -hi, lo)
+    b = jnp.where(flip, -lo, hi)
+    la, lb = norm.logcdf(a), norm.logcdf(b)
+    return lb + jnp.log(-jnp.expm1(jnp.minimum(la - lb, -1e-38)))
 
 
 class Distribution:
@@ -138,7 +137,7 @@ class TruncatedNormal(Distribution):
         a = (self.low - self.loc) / self.scale
         b = (self.high - self.loc) / self.scale
         z = (value - self.loc) / self.scale
-        log_norm = _log_diff_cdf(jnp.asarray(b, float), jnp.asarray(a, float))
+        log_norm = _norm_logcdf_interval(jnp.asarray(a, float), jnp.asarray(b, float))
         lp = norm.logpdf(z) - jnp.log(self.scale) - log_norm
         inside = (self.low <= value) & (value <= self.high)
         return jnp.where(inside, lp, -jnp.inf)
@@ -256,21 +255,24 @@ class DetruncUnif(Distribution):
 
 
 # ======================================================================= SHASH
-_SHASH_DEG = 20
-_shash_x, _shash_w = hermegauss(_SHASH_DEG)
-_SHASH_X = jnp.asarray(_shash_x)
-_SHASH_W = jnp.asarray(_shash_w / np.sqrt(2 * np.pi))  # E_{N(0,1)}[f] = sum w f(x)
-_SHASH_ASINH_X = jnp.arcsinh(_SHASH_X)
+def _std_normal_quadrature(deg):
+    """(nodes, weights) with E_{N(0,1)}[f] ~ sum_i w_i f(z_i) (probabilists')."""
+    z, w = hermegauss(deg)
+    return jnp.asarray(z), jnp.asarray(w) / np.sqrt(2 * np.pi)
 
 
 class SinhArcsinh(Distribution):
     """Sinh-arcsinh of a normal, standardized so loc/scale ARE the mean/std.
 
-    Raw transform (eps ~ N(0,1)): Z = sinh((asinh(eps) + skewness) * tailweight),
-    then x = mean + std (Z - E[Z]) / sqrt(Var[Z]): shape is orthogonal to
-    location/scale (removes the loc<->skew sampling ridge of the raw form).
-    E[Z], Var[Z] by Gauss-Hermite quadrature.
+    The distribution of x = loc + scale * (g(eps) - E g) / Std g with
+    g(eps) = sinh(tailweight * (arcsinh(eps) + skewness)) and eps ~ N(0,1).
+    Standardizing by the raw moments makes shape (skew/tailweight) orthogonal
+    to location/scale, killing the loc<->skew sampling ridge of the raw SHASH.
+    E g / Var g are evaluated by a fixed Gauss-Hermite rule (no closed form
+    without fractional-order Bessel K). Parity: utils.py:392-464 behavior.
     """
+
+    QUAD_DEG = 20
 
     def __init__(self, mean=0.0, std=1.0, skewness=0.0, tailweight=1.0):
         self.loc, self.scale = mean, std
@@ -282,36 +284,46 @@ class SinhArcsinh(Distribution):
                                       (self.loc, self.scale, self.skewness,
                                        self.tailweight)))
 
-    def _standardizer(self):
-        a = _SHASH_ASINH_X.reshape((-1,) + (1,) * len(self.batch_shape))
-        Z = jnp.sinh((a + self.skewness) * self.tailweight)
-        m = jnp.tensordot(_SHASH_W, Z, axes=(0, 0))
-        v = jnp.tensordot(_SHASH_W, Z**2, axes=(0, 0)) - m**2
-        return m, jnp.sqrt(v)
+    def _g(self, eps):
+        """The raw transform g applied elementwise (broadcasts with batch)."""
+        return jnp.sinh(self.tailweight * (jnp.arcsinh(eps) + self.skewness))
+
+    def _g_mean_std(self):
+        """First two moments of g(eps), quadrature axis trailing (TPU lanes)."""
+        z, w = _std_normal_quadrature(self.QUAD_DEG)
+        t = jnp.asarray(self.tailweight)[..., None]
+        s = jnp.asarray(self.skewness)[..., None]
+        gz = jnp.sinh(t * (jnp.arcsinh(z) + s))
+        mean_g = jnp.sum(w * gz, axis=-1)
+        var_g = jnp.sum(w * jnp.square(gz), axis=-1) - jnp.square(mean_g)
+        return mean_g, jnp.sqrt(var_g)
 
     def sample(self, key, sample_shape=()):
-        m, s = self._standardizer()
+        mg, sg = self._g_mean_std()
         eps = jr.normal(key, sample_shape + self.batch_shape)
-        Z = jnp.sinh((jnp.arcsinh(eps) + self.skewness) * self.tailweight)
-        return self.loc + self.scale * (Z - m) / s
+        return self.loc + self.scale * (self._g(eps) - mg) / sg
 
-    def _to_normal(self, value):
-        m, s = self._standardizer()
-        Z = m + s * (value - self.loc) / self.scale
-        eps = jnp.sinh(jnp.arcsinh(Z) / self.tailweight - self.skewness)
-        return eps, Z, s
+    def _pullback(self, value):
+        """Invert value -> eps; also return the raw variate and Std g."""
+        mg, sg = self._g_mean_std()
+        raw = mg + sg * (value - self.loc) / self.scale
+        eps = jnp.sinh(jnp.arcsinh(raw) / self.tailweight - self.skewness)
+        return eps, raw, sg
 
     def log_prob(self, value):
-        eps, Z, s = self._to_normal(value)
-        return (-0.5 * jnp.log(2 * jnp.pi) - 0.5 * eps**2 + 0.5 * jnp.log1p(eps**2)
-                - jnp.log(self.tailweight) - 0.5 * jnp.log1p(Z**2)
-                + jnp.log(s) - jnp.log(self.scale))
+        eps, raw, sg = self._pullback(value)
+        # forward derivative at the preimage:
+        #   dvalue/deps = (scale/sg) * g'(eps),
+        #   g'(eps) = tailweight * cosh(.) / sqrt(1+eps^2),  cosh(.) = sqrt(1+g^2)
+        log_fwd = (jnp.log(self.scale) - jnp.log(sg) + jnp.log(self.tailweight)
+                   + 0.5 * (jnp.log1p(jnp.square(raw)) - jnp.log1p(jnp.square(eps))))
+        return norm.logpdf(eps) - log_fwd
 
     def cdf(self, value):
-        return norm.cdf(self._to_normal(value)[0])
+        return norm.cdf(self._pullback(value)[0])
 
     def log_cdf(self, value):
-        return norm.logcdf(self._to_normal(value)[0])
+        return norm.logcdf(self._pullback(value)[0])
 
     @property
     def mean(self):
@@ -326,9 +338,20 @@ class SinhArcsinh(Distribution):
 class QuadGaussian(Distribution):
     """Quadratic-in-Gaussian noise, mean-subtracted:
         obs = loc + scale1 eps + scale2 (eps^2 - 1),  eps ~ N(0,1),
-    so E = loc, Var = scale1^2 + 2 scale2^2.  Exact density via the two
-    Gaussian preimages of the quadratic; support is bounded on one side by
-    loc - scale2 - scale1^2/(4 scale2)."""
+    so E = loc, Var = scale1^2 + 2 scale2^2 (parity: utils.py:474-538).
+
+    Derivation here completes the square: with h = scale1/(2 scale2),
+        obs - loc = scale2 [(eps + h)^2 - (1 + h^2)],
+    i.e. a shifted/scaled noncentral chi^2_1. Writing
+        u := (obs - loc)/scale2 + 1 + h^2 = (eps + h)^2,
+    the preimages are eps = -h +- sqrt(u) and the exact density is
+        p(obs) = [phi(sqrt(u)-h) + phi(-sqrt(u)-h)] / (2 |scale2| sqrt(u)),
+    supported on u > 0 (one-sided bound at loc - scale2 (1 + h^2)).
+    Degenerates smoothly to Normal(loc, scale1) as scale2 -> 0 (explicit
+    switch below the `LINEAR_TOL` threshold to keep f32 gradients clean).
+    """
+
+    LINEAR_TOL = 1e-8
 
     def __init__(self, loc=0.0, scale1=1.0, scale2=0.0):
         self.loc, self.scale1, self.scale2 = loc, scale1, scale2
@@ -342,35 +365,41 @@ class QuadGaussian(Distribution):
         eps = jr.normal(key, sample_shape + self.batch_shape)
         return self.loc + self.scale1 * eps + self.scale2 * (eps**2 - 1.0)
 
-    def _preimages(self, value):
-        a, b = self.scale2, self.scale1
-        r = value - self.loc + a          # a eps^2 + b eps = r
-        D = b**2 + 4.0 * a * r
-        D_safe = jnp.where(D > 0, D, 1.0)
-        sq = jnp.sqrt(D_safe)
-        a_safe = jnp.where(jnp.abs(a) < 1e-12, 1.0, a)
-        return D, D_safe, (-b + sq) / (2 * a_safe), (-b - sq) / (2 * a_safe)
+    def _completed_square(self, value):
+        """(curv, h, u, root): obs - loc = curv [(eps+h)^2 - (1+h^2)], u=(eps+h)^2.
+
+        curv is guarded away from 0 (callers switch to the linear branch there),
+        and root = sqrt(u) is guarded on u <= 0 (outside the support).
+        """
+        curv = jnp.where(jnp.abs(self.scale2) < 1e-12, 1.0, self.scale2)
+        h = self.scale1 / (2.0 * curv)
+        u = (value - self.loc) / curv + 1.0 + jnp.square(h)
+        root = jnp.sqrt(jnp.where(u > 0, u, 1.0))
+        return curv, h, u, root
+
+    def _linear_branch(self):
+        return jnp.abs(self.scale2) < self.LINEAR_TOL
 
     def log_prob(self, value):
-        a, b = self.scale2, self.scale1
-        D, D_safe, ep, em = self._preimages(value)
-        lp_quad = (-0.5 * jnp.log(2 * jnp.pi) - 0.5 * jnp.log(D_safe)
-                   + logsumexp(jnp.stack([-0.5 * ep**2, -0.5 * em**2], 0), axis=0))
-        lp_quad = jnp.where(D > 0, lp_quad, -jnp.inf)
-        lp_gauss = -0.5 * jnp.log(2 * jnp.pi) - jnp.log(b) \
-            - 0.5 * ((value - self.loc) / b) ** 2
-        return jnp.where(jnp.abs(a) < 1e-8, lp_gauss, lp_quad)
+        curv, h, u, root = self._completed_square(value)
+        two_phi = jnp.logaddexp(norm.logpdf(root - h), norm.logpdf(root + h))
+        lp = two_phi - jnp.log(2.0 * jnp.abs(curv) * root)
+        lp = jnp.where(u > 0, lp, -jnp.inf)
+        z = (value - self.loc) / self.scale1
+        lp_lin = norm.logpdf(z) - jnp.log(self.scale1)
+        return jnp.where(self._linear_branch(), lp_lin, lp)
 
     def log_cdf(self, value):
-        a, b = self.scale2, self.scale1
-        D, D_safe, ep, em = self._preimages(value)
-        # a > 0: region is the eps-interval [em, ep] (empty if D < 0)
-        lc_pos = jnp.where(D > 0, _log_diff_cdf(ep, em), -jnp.inf)
-        # a < 0: region is (-inf, ep] U [em, inf) (all of R if D < 0)
-        lc_neg = jnp.where(D > 0, jnp.logaddexp(norm.logcdf(ep), norm.logcdf(-em)), 0.0)
-        lc_quad = jnp.where(a > 0, lc_pos, lc_neg)
-        lc_gauss = norm.logcdf((value - self.loc) / b)
-        return jnp.where(jnp.abs(a) < 1e-8, lc_gauss, lc_quad)
+        curv, h, u, root = self._completed_square(value)
+        lo, hi = -h - root, -h + root
+        # curv > 0: {obs <= value} = {eps in [lo, hi]}, empty when u <= 0
+        opens_up = jnp.where(u > 0, _norm_logcdf_interval(lo, hi), -jnp.inf)
+        # curv < 0: complement {eps <= lo} U {eps >= hi}, everything when u <= 0
+        opens_down = jnp.where(
+            u > 0, jnp.logaddexp(norm.logcdf(lo), norm.logcdf(-hi)), 0.0)
+        lc = jnp.where(curv > 0, opens_up, opens_down)
+        lc_lin = norm.logcdf((value - self.loc) / self.scale1)
+        return jnp.where(self._linear_branch(), lc_lin, lc)
 
     def cdf(self, value):
         return jnp.exp(self.log_cdf(value))
@@ -383,19 +412,29 @@ class QuadGaussian(Distribution):
     def variance(self):
         return jnp.broadcast_to(self.scale1**2 + 2 * self.scale2**2, self.batch_shape)
 
+    @property
+    def third_central_moment(self):
+        # E[(s1 e + s2(e^2-1))^3] with E e^4 = 3, E e^6 = 15:
+        # 3 s1^2 s2 E[e^2(e^2-1)] term -> 6 s1^2 s2; s2^3 E[(e^2-1)^3] -> 8 s2^3
+        return jnp.broadcast_to(
+            6.0 * self.scale1**2 * self.scale2 + 8.0 * self.scale2**3,
+            self.batch_shape)
+
 
 class TwoQuadGaussian(Distribution):
-    """Two-field quadratic-in-Gaussian noise:
+    """Two-field quadratic-in-Gaussian noise (parity: utils.py:541-635):
         obs = loc + scale1 eps1 + scale2 (eps2^2 - 1),  eps1 _|_ eps2.
     Same first two moments as QuadGaussian but third moment 8 scale2^3 (the
-    6 scale1^2 scale2 cross term exists only with shared noise).  Density by
-    Gauss-Hermite marginalization over eps2 (smooth, differentiable)."""
+    6 scale1^2 scale2 cross term needs shared noise).
+
+    Structured as a finite normal MIXTURE: conditioning on eps2 = z gives
+    obs | z ~ N(loc + scale2 (z^2 - 1), scale1); marginalizing with a fixed
+    Gauss-Hermite rule yields sum_i w_i N(mu_i, scale1) — log_prob/log_cdf are
+    then one logsumexp over the trailing (TPU-lane) component axis.
+    """
 
     def __init__(self, loc=0.0, scale1=1.0, scale2=0.0, n_quad=64):
         self.loc, self.scale1, self.scale2 = loc, scale1, scale2
-        z, w = hermegauss(n_quad)
-        self._z = jnp.asarray(z)
-        self._logw = jnp.asarray(np.log(w) - 0.5 * np.log(2 * np.pi))
         self.n_quad = n_quad
 
     @property
@@ -409,22 +448,24 @@ class TwoQuadGaussian(Distribution):
         return (self.loc + self.scale1 * jr.normal(k1, shp)
                 + self.scale2 * (jr.normal(k2, shp) ** 2 - 1.0))
 
-    def _quad_axes(self, value):
-        nd = jnp.ndim(value)
-        zr = self._z.reshape((-1,) + (1,) * nd)
-        logwr = self._logw.reshape((-1,) + (1,) * nd)
-        mu = self.loc + self.scale2 * (zr**2 - 1.0)
-        return logwr, mu
+    def _mixture(self):
+        """(component means, log weights), component axis trailing."""
+        z, w = _std_normal_quadrature(self.n_quad)
+        means = jnp.asarray(self.loc)[..., None] \
+            + jnp.asarray(self.scale2)[..., None] * (jnp.square(z) - 1.0)
+        return means, jnp.log(w)
 
     def log_prob(self, value):
-        logwr, mu = self._quad_axes(value)
-        comp = logwr + norm.logpdf(value[None], loc=mu, scale=self.scale1)
-        return logsumexp(comp, axis=0)
+        means, logw = self._mixture()
+        scale = jnp.asarray(self.scale1)[..., None]
+        comp = logw + norm.logpdf(value[..., None], loc=means, scale=scale)
+        return logsumexp(comp, axis=-1)
 
     def log_cdf(self, value):
-        logwr, mu = self._quad_axes(value)
-        comp = logwr + norm.logcdf((value[None] - mu) / self.scale1)
-        return logsumexp(comp, axis=0)
+        means, logw = self._mixture()
+        scale = jnp.asarray(self.scale1)[..., None]
+        comp = logw + norm.logcdf((value[..., None] - means) / scale)
+        return logsumexp(comp, axis=-1)
 
     def cdf(self, value):
         return jnp.exp(self.log_cdf(value))
@@ -439,70 +480,96 @@ class TwoQuadGaussian(Distribution):
 
 
 # ======================================================================= skew normal
-_B = np.sqrt(2.0 / np.pi)
-# maximum |skewness| a skew-normal can realize (delta -> 1)
-_GAMMA_MAX = ((4.0 - np.pi) / 2.0) * (2.0 / (np.pi - 2.0)) ** 1.5
+# E|N(0,1)| — the standardized-mean unit of the skew-normal half-normal part
+_HALF_NORMAL_MEAN = np.sqrt(2.0 / np.pi)
+# |skewness| as delta -> 1 (the attainable supremum)
+_SKEW_SUP = 0.5 * (4.0 - np.pi) * (2.0 / (np.pi - 2.0)) ** 1.5
+_DELTA_CAP = 1.0 - 1e-7
+
+
+def _owens_t_reduced(h, a, nodes, weights):
+    """Owen's T for 0 <= a <= 1 via the rational-integrand definition
+    T(h, a) = (1/2pi) int_0^a exp(-h^2 (1+x^2)/2) / (1+x^2) dx,
+    with Gauss-Legendre nodes mapped onto [0, a]. The a <= 1 restriction keeps
+    the integration interval short so a fixed rule is uniformly accurate."""
+    x = a[..., None] * nodes
+    integrand = jnp.exp(-0.5 * h[..., None] ** 2 * (1.0 + x * x)) / (1.0 + x * x)
+    return a * jnp.sum(weights * integrand, axis=-1) / (2.0 * np.pi)
+
+
+def _owens_t(h, a, nodes, weights):
+    """Owen's T(h, a) for any real a: odd in a, and |a| > 1 is folded to
+    1/|a| <= 1 through the complement identity
+    T(h, a) = [Phi(h) + Phi(ah)]/2 - Phi(h) Phi(ah) - T(ah, 1/a),  a > 0."""
+    aa = jnp.abs(a)
+    fold = aa > 1.0
+    inv = 1.0 / jnp.maximum(aa, 1.0)
+    base = _owens_t_reduced(jnp.where(fold, aa * h, h),
+                            jnp.where(fold, inv, aa), nodes, weights)
+    ph, pah = norm.cdf(h), norm.cdf(aa * h)
+    folded = 0.5 * (ph + pah) - ph * pah - base
+    return jnp.sign(a) * jnp.where(fold, folded, base)
 
 
 class SkewNormal(Distribution):
-    """Azzalini skew-normal in the centered parametrization (mean, std, skew):
-    location/scale are decoupled from shape (no MCMC ridge), the moment map to
-    (xi, omega, alpha) is closed form, and log_prob costs ~2 special-function
-    evals per cell.  |skew| is clipped just inside the attainable bound
-    ~0.9953.  cdf via Owen's T (small fixed Gauss-Legendre quadrature)."""
+    """Azzalini skew-normal, parametrized by its own moments (mean, std, skew)
+    so location/scale decouple from shape (no MCMC ridge). Behavior parity:
+    utils.py:645-748.
+
+    Internally the skewness is inverted to the shape parameter delta: with
+    m = E|N(0,1)| * delta (the standardized mean), the skewness is
+    gamma = (4-pi)/2 * m^3 / (1-m^2)^(3/2), inverted via the cube root
+    r = cbrt(2 gamma / (4-pi)) = m / sqrt(1-m^2)  =>  m = r / sqrt(1+r^2).
+    |skew| clips just inside the attainable supremum ~0.9953. log_prob costs
+    ~2 special-function evals per cell; cdf needs Owen's T (fixed quadrature,
+    domain-reduced — never used in log_prob)."""
 
     def __init__(self, mean=0.0, std=1.0, skew=0.0,
-                 max_skew=_GAMMA_MAX * (1.0 - 1e-6), n_owen=48):
+                 max_skew=_SKEW_SUP * (1.0 - 1e-6), n_owen=48):
         self.mean_, self.std, self.skew = mean, std, skew
-        self.max_skew = float(min(max_skew, _GAMMA_MAX * (1.0 - 1e-6)))
-        x, w = leggauss(n_owen)
-        self._gl_t = jnp.asarray(0.5 * (x + 1.0))
-        self._gl_w = jnp.asarray(0.5 * w)
-        self._xi, self._omega, self._alpha, self._delta, self._gamma = \
-            self._cp_to_dp(mean, std, skew)
+        self.max_skew = float(min(max_skew, _SKEW_SUP * (1.0 - 1e-6)))
+        x, w = leggauss(n_owen)  # nodes on [0, 1]
+        self._nodes = jnp.asarray((x + 1.0) / 2.0)
+        self._weights = jnp.asarray(w / 2.0)
 
     @property
     def batch_shape(self):
         return jnp.broadcast_shapes(*(jnp.shape(x) for x in
                                       (self.mean_, self.std, self.skew)))
 
-    def _cp_to_dp(self, mean, std, skew):
-        g = jnp.clip(skew, -self.max_skew, self.max_skew)
-        A = (2.0 * jnp.abs(g) / (4.0 - np.pi)) ** (2.0 / 3.0)
-        muz = jnp.sign(g) * jnp.sqrt(A / (1.0 + A))   # standardized mean = b delta
-        muz = jnp.clip(muz, -_B * (1 - 1e-7), _B * (1 - 1e-7))
-        delta = muz / _B
-        delta2 = jnp.clip(delta**2, 0.0, 1.0 - 1e-12)
-        alpha = delta / jnp.sqrt(1.0 - delta2)
-        omega = std / jnp.sqrt(1.0 - muz**2)
-        xi = mean - omega * muz
-        return xi, omega, alpha, delta, g
+    @property
+    def _delta(self):
+        g = jnp.clip(self.skew, -self.max_skew, self.max_skew)
+        r = jnp.cbrt(2.0 * g / (4.0 - np.pi))     # = m / sqrt(1 - m^2), odd in g
+        m = r * lax.rsqrt(1.0 + r * r)             # standardized mean
+        return jnp.clip(m / _HALF_NORMAL_MEAN, -_DELTA_CAP, _DELTA_CAP)
+
+    def _direct(self):
+        """Direct Azzalini parameters (xi, omega, alpha) from the moments."""
+        d = self._delta
+        m = _HALF_NORMAL_MEAN * d
+        omega = self.std * lax.rsqrt(1.0 - m * m)
+        return self.mean_ - omega * m, omega, d * lax.rsqrt(1.0 - d * d)
 
     def log_prob(self, value):
-        z = (value - self._xi) / self._omega
-        return (np.log(2.0) - jnp.log(self._omega)
-                + norm.logpdf(z) + norm.logcdf(self._alpha * z))
+        xi, omega, alpha = self._direct()
+        z = (value - xi) / omega
+        return (np.log(2.0) - jnp.log(omega)
+                + norm.logpdf(z) + norm.logcdf(alpha * z))
 
     def sample(self, key, sample_shape=()):
-        k0, k1 = jr.split(key)
         shp = sample_shape + self.batch_shape
-        z0, z1 = jr.normal(k0, shp), jr.normal(k1, shp)
+        u0, u1 = jr.normal(key, (2,) + shp)
+        xi, omega, _ = self._direct()
         d = self._delta
-        return self._xi + self._omega * (d * jnp.abs(z0) + jnp.sqrt(1 - d**2) * z1)
-
-    def _owens_t(self, h, a):
-        aa = jnp.abs(a)
-        upper = jnp.arctan(aa)
-        th = upper[..., None] * self._gl_t
-        sec2 = 1.0 / jnp.cos(th) ** 2
-        integrand = jnp.exp(-0.5 * (h[..., None] ** 2) * sec2)
-        integral = upper * jnp.sum(self._gl_w * integrand, axis=-1)
-        return jnp.sign(a) * integral / (2.0 * np.pi)
+        return xi + omega * (d * jnp.abs(u0) + jnp.sqrt(1.0 - d * d) * u1)
 
     def cdf(self, value):
-        z = (value - self._xi) / self._omega
-        alpha = jnp.broadcast_to(self._alpha, jnp.shape(z))
-        return jnp.clip(norm.cdf(z) - 2.0 * self._owens_t(z, alpha), 0.0, 1.0)
+        xi, omega, alpha = self._direct()
+        z = (value - xi) / omega
+        alpha = jnp.broadcast_to(alpha, jnp.shape(z))
+        t = _owens_t(z, alpha, self._nodes, self._weights)
+        return jnp.clip(norm.cdf(z) - 2.0 * t, 0.0, 1.0)
 
     def log_cdf(self, value):
         return jnp.log(jnp.clip(self.cdf(value), 1e-300, 1.0))
@@ -522,11 +589,12 @@ class SkewNormal(Distribution):
 
 
 def match_quadratic_gaussian(loc, scale1, scale2):
-    """(mean, std, skew) of a SkewNormal matching the first three moments of
-    QuadGaussian(loc, scale1, scale2)."""
-    var = scale1**2 + 2.0 * scale2**2
-    m3 = 2.0 * scale2 * (3.0 * scale1**2 + 4.0 * scale2**2)
-    return loc, jnp.sqrt(var), m3 / var**1.5
+    """(mean, std, skew) of the SkewNormal matching the first three central
+    moments of QuadGaussian(loc, scale1, scale2) — the moment-matched
+    surrogate used by the 'shash'/'skew' likelihoods."""
+    qd = QuadGaussian(loc, scale1, scale2)
+    std = jnp.sqrt(qd.variance)
+    return qd.mean, std, qd.third_central_moment / std**3
 
 
 # ======================================================================= cubic gaussian
