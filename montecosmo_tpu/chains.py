@@ -33,86 +33,106 @@ import jax
 @tree_util.register_pytree_node_class
 @dataclass
 class Samples(UserDict):
-    """Dict of arrays with group querying and global indexing."""
+    """Dict of arrays with group querying and global indexing.
+
+    A query is a sequence of TOKENS evaluated left to right against an
+    ordered selection (duplicates preserved — positional correspondence
+    matters when two groups share a key):
+
+      bare token   : array key -> itself; '*' -> every key; group -> members
+      '~token'     : remove the token's keys from the selection so far
+      '*~token'    : add the complement of the token's keys
+      [tokens]     : (inside a tuple query) kept verbatim, recursed on
+
+    str keys return values, list keys return a restricted container, tuple
+    keys recurse per entry; int/slice/array keys index every leaf globally.
+    """
 
     data: dict
     groups: dict = None  # group name -> list of keys
 
-    NoneOrEmpty = object()  # sentinel: missing keys -> None / dropped from subdicts
+    # sentinel default: missing keys -> None (values) / dropped (subdicts)
+    NoneOrEmpty = object()
+
+    _INDEX_LEAVES = (int, slice, type(Ellipsis), np.ndarray, jnp.ndarray)
 
     def __post_init__(self):
-        if isinstance(self.data, Samples):
-            other = self.data.asdict()
-            self.data = self.data.data
-        else:
-            other = {}
+        inherited = {}
+        if isinstance(self.data, Samples):  # adopt attrs of a wrapped instance
+            inner, self.data = self.data, self.data.data
+            inherited = inner.asdict()
         for field in fields(self):
-            mine = getattr(self, field.name)
-            mine = {} if mine is None else mine.copy()
-            setattr(self, field.name, {**other.get(field.name, {}), **mine})
+            given = getattr(self, field.name)
+            merged = dict(inherited.get(field.name) or {})
+            merged.update(given or {})
+            setattr(self, field.name, merged)
 
     # ------------------------------------------------------------------ querying
-    def __getitem__(self, key, default_fn=None):
-        if self._istreeof(key, (int, slice, type(Ellipsis), np.ndarray, jnp.ndarray)):
-            return jax.tree.map(lambda x: x[key], self)
+    def _denoted(self, name):
+        """Keys denoted by a bare (unprefixed) token."""
+        if name in self.data:
+            return [name]
+        if name == "*":
+            return list(self.data)
+        return list(self.groups.get(name, [name]))
 
-        if self._istreeof(key, str):
-            if isinstance(key, str):
-                parsed = self._parse_key([key])
-                if len(parsed) == 1:
-                    return self._get(parsed[0], default_fn)
-                return tuple(self._get(k, default_fn) for k in parsed)
-            if isinstance(key, list):
-                if default_fn is self.NoneOrEmpty:
-                    data = {k: self.data[k] for k in self._parse_key(key) if k in self.data}
-                else:
-                    data = {k: self._get(k, default_fn) for k in self._parse_key(key)}
-                return type(self)(**{**self.asdict(), "data": data})
-            if isinstance(key, tuple):
-                parsed = self._parse_key(key)
-                if len(parsed) == 1:
-                    return self.__getitem__(parsed[0], default_fn)
-                return tuple(self.__getitem__(k, default_fn) for k in parsed)
-        raise KeyError(key)
-
-    def _parse_key(self, key):
-        out = []
-        for k in key:
-            if isinstance(k, list):
-                out.append(k)
-            elif isinstance(k, str):
-                if k.startswith("*~"):  # everything except
-                    k = k[2:]
-                    g = [k] if k in self.data else (
-                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
-                    out += [kk for kk in self.data.keys() if kk not in set(g)]
-                elif k.startswith("~"):  # remove from the running selection
-                    k = k[1:]
-                    g = [k] if k in self.data else (
-                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
-                    for kk in g:
-                        if kk in out:
-                            out.remove(kk)
-                else:
-                    g = [k] if k in self.data else (
-                        list(self.data.keys()) if k == "*" else self.groups.get(k, [k]))
-                    out += list(g)
+    def _evaluate(self, tokens):
+        """Run the token sequence; returns the ordered selection."""
+        chosen = []
+        for tok in tokens:
+            if isinstance(tok, list):     # sub-query: pass through verbatim
+                chosen.append(tok)
+            elif not isinstance(tok, str):
+                raise KeyError(tok)
+            elif tok[:2] == "*~":
+                exclude = set(self._denoted(tok[2:]))
+                chosen += [k for k in self.data if k not in exclude]
+            elif tok[:1] == "~":
+                for k in self._denoted(tok[1:]):
+                    if k in chosen:
+                        chosen.remove(k)  # first occurrence only
             else:
-                raise KeyError(k)
-        return out
+                chosen += self._denoted(tok)
+        return chosen
+
+    def _lookup(self, key, default_fn=None):
+        try:
+            return self.data[key]
+        except KeyError:
+            if default_fn is None:
+                raise
+            return None if default_fn is self.NoneOrEmpty else default_fn(key)
+
+    def _restricted(self, tokens, default_fn):
+        """New container limited to the selection (list-key query)."""
+        keys = self._evaluate(tokens)
+        if default_fn is self.NoneOrEmpty:
+            picked = {k: self.data[k] for k in keys if k in self.data}
+        else:
+            picked = {k: self._lookup(k, default_fn) for k in keys}
+        return type(self)(**{**self.asdict(), "data": picked})
 
     @staticmethod
-    def _istreeof(obj, types):
-        return jax.tree.all(jax.tree.map(lambda x: isinstance(x, types), obj))
+    def _leaves_are(obj, types):
+        return all(isinstance(leaf, types) for leaf in tree_util.tree_leaves(obj))
 
-    def _get(self, key, default_fn=None):
-        if key in self.data:
-            return self.data[key]
-        if default_fn is None:
+    def __getitem__(self, key, default_fn=None):
+        if self._leaves_are(key, self._INDEX_LEAVES):
+            return jax.tree.map(lambda x: x[key], self)
+        if not self._leaves_are(key, str):
             raise KeyError(key)
-        if default_fn is self.NoneOrEmpty:
-            return None
-        return default_fn(key)
+        if isinstance(key, str):
+            sel = self._evaluate([key])
+            if len(sel) == 1:
+                return self._lookup(sel[0], default_fn)
+            return tuple(self._lookup(k, default_fn) for k in sel)
+        if isinstance(key, list):
+            return self._restricted(key, default_fn)
+        # tuple: recurse entry-wise (entries may be sub-lists)
+        sel = self._evaluate(key)
+        if len(sel) == 1:
+            return self.__getitem__(sel[0], default_fn)
+        return tuple(self.__getitem__(k, default_fn) for k in sel)
 
     def get(self, key, default_fn=NoneOrEmpty):
         return self.__getitem__(key, default_fn)
@@ -135,56 +155,49 @@ class Samples(UserDict):
         return cls(*data, *aux)
 
     # ------------------------------------------------------------------ properties
-    @property
-    def shape(self):
-        return jax.tree.map(jnp.shape, self.data)
-
-    @property
-    def ndim(self):
-        return jax.tree.map(jnp.ndim, self.data)
-
-    @property
-    def dtype(self):
-        return jax.tree.map(jnp.dtype, self.data)
-
-    @property
-    def size(self):
-        return jax.tree.map(jnp.size, self.data)
+    shape = property(lambda self: jax.tree.map(jnp.shape, self.data))
+    ndim = property(lambda self: jax.tree.map(jnp.ndim, self.data))
+    dtype = property(lambda self: jax.tree.map(jnp.dtype, self.data))
+    size = property(lambda self: jax.tree.map(jnp.size, self.data))
 
     # ------------------------------------------------------------------ operations
-    def __or__(self, other):
+    def _merge_fields(self, other, reverse=False):
+        """Field-wise dict union with `other` (a Samples or plain mapping)."""
         new = self.asdict()
         if isinstance(other, Samples):
-            for k, v in other.asdict().items():
-                new[k] = {**new.get(k, {}), **v}
+            for name, theirs in other.asdict().items():
+                ours = new.get(name, {})
+                new[name] = {**theirs, **ours} if reverse else {**ours, **theirs}
         elif isinstance(other, (dict, UserDict)):
-            other = other.data if isinstance(other, UserDict) else other
-            new["data"] = {**new["data"], **other}
+            theirs = dict(other)
+            new["data"] = ({**theirs, **new["data"]} if reverse
+                           else {**new["data"], **theirs})
         else:
-            return NotImplemented
-        return type(self)(**new)
+            return None
+        return new
+
+    def __or__(self, other):
+        merged = self._merge_fields(other)
+        return NotImplemented if merged is None else type(self)(**merged)
 
     def __ror__(self, other):
-        new = self.asdict()
-        if isinstance(other, (dict, UserDict)):
-            other = other.data if isinstance(other, UserDict) else other
-            new["data"] = {**other, **new["data"]}
-            return type(self)(**new)
-        return NotImplemented
+        merged = self._merge_fields(other, reverse=True)
+        return NotImplemented if merged is None else type(self)(**merged)
 
     def __ior__(self, other):
-        if isinstance(other, Samples):
-            for f in fields(self):
-                setattr(self, f.name,
-                        {**getattr(self, f.name), **getattr(other, f.name, {})})
-            return self
-        return super().__ior__(other)
+        if not isinstance(other, Samples):
+            return super().__ior__(other)
+        for f in fields(self):
+            setattr(self, f.name,
+                    {**getattr(self, f.name), **getattr(other, f.name, {})})
+        return self
 
     # ------------------------------------------------------------------ transforms
     def prune(self):
         """Drop group entries whose keys are absent from data."""
         new = self.copy()
-        new.groups = {g: [k for k in gl if k in new.data] for g, gl in new.groups.items()}
+        new.groups = {g: [k for k in members if k in new.data]
+                      for g, members in new.groups.items()}
         return new
 
     def concat(self, *others, axis=0):
@@ -192,20 +205,22 @@ class Samples(UserDict):
                             self, *others)
 
     def stackby(self, names=None, remove=True, axis=-1):
-        """Stack variables by group, optionally removing the unstacked ones."""
-        if names is None:
-            names = list(self.groups)
-        elif isinstance(names, str):
-            names = [names]
+        """Stack variables by group, optionally removing the unstacked ones.
 
+        `names` may be variable names (left untouched) or group names; None
+        stacks every group.
+        """
+        names = list(self.groups) if names is None else list(np.atleast_1d(names))
         new = self.copy()
-        for k in names:
-            if k not in self.data:
-                vals = self[k]
-                new.data[k] = vals[0] if len(self.groups[k]) == 1 else jnp.stack(vals, axis=axis)
-                if remove:
-                    for kk in self.groups[k]:
-                        new.data.pop(kk, None)
+        for name in names:
+            if name in self.data:
+                continue  # a plain variable: nothing to stack
+            members = self.groups[name]
+            vals = self[name]  # single-member groups yield the bare value
+            new.data[name] = vals if len(members) == 1 else jnp.stack(vals, axis)
+            if remove:
+                for member in members:
+                    new.data.pop(member, None)
         return new
 
 

@@ -322,34 +322,47 @@ def optim_mu2_delta(mesh, los):
 
 
 # ----------------------------------------------------------------------- window convolution
+def _wigner3j_zero_sq(l1, l2, l3):
+    """Exact squared Wigner 3j symbol (l1 l2 l3; 0 0 0)^2 as a Fraction.
+
+    Closed form (Edmonds 1957 eq. 3.7.17): with 2g = l1+l2+l3 even and the
+    triangle condition satisfied,
+      (l1 l2 l3; 000)^2 = D * [g! / ((g-l1)! (g-l2)! (g-l3)!)]^2,
+      D = (2g-2l1)! (2g-2l2)! (2g-2l3)! / (2g+1)!.
+    Zero when l1+l2+l3 is odd or the triangle inequality fails.
+    """
+    from fractions import Fraction
+
+    total = l1 + l2 + l3
+    if total % 2 or not abs(l1 - l2) <= l3 <= l1 + l2:
+        return Fraction(0)
+    g = total // 2
+    f = math.factorial
+    D = Fraction(f(2 * (g - l1)) * f(2 * (g - l2)) * f(2 * (g - l3)),
+                 f(2 * g + 1))
+    binom = Fraction(f(g), f(g - l1) * f(g - l2) * f(g - l3))
+    return D * binom * binom
+
+
 def wigner3j_square(ellout, ellin, prefactor=True):
-    """Legendre-product coefficients C_{l l' L} for window convolution
-    (Wilson et al. 2015 / Al-Salam 1953)."""
-    qvals, coeffs = [], []
+    """Legendre-product linearization coefficients for window convolution:
+      P_ellout(x) P_ellin(x) = sum_L (2L+1) (ellout ellin L; 000)^2 P_L(x),
+    optionally including the (2 ellout + 1)/(2L+1) window-matrix prefactor
+    (cf. Wilson et al. 2015 eq. 2.2). Computed exactly in rational arithmetic
+    from the squared 3j closed form. Returns (L values, coefficients),
+    L ascending from |ellout-ellin| to ellout+ellin in steps of 2.
+    Parity: reference metrics.py:467-537 (pyRSD G-function route).
+    """
+    from fractions import Fraction
 
-    def G(p):
-        num = 1
-        for q in range(1, p + 1):
-            num *= 2 * q - 1
-        return num, math.factorial(p)
-
-    for p in range(min(ellin, ellout) + 1):
-        numer, denom = [], []
-        for r in (G(ellout - p), G(p), G(ellin - p)):
-            numer.append(r[0])
-            denom.append(r[1])
-        a, b = G(ellin + ellout - p)
-        numer.append(b)
-        denom.append(a)
-        numer.append(2 * (ellin + ellout) - 4 * p + 1)
-        denom.append(2 * (ellin + ellout) - 2 * p + 1)
-        q = ellin + ellout - 2 * p
+    ells, coeffs = [], []
+    for L in range(abs(ellout - ellin), ellout + ellin + 1, 2):
+        c = (2 * L + 1) * _wigner3j_zero_sq(ellout, ellin, L)
         if prefactor:
-            numer.append(2 * ellout + 1)
-            denom.append(2 * q + 1)
-        coeffs.append(np.prod(numer, dtype="f8") / np.prod(denom, dtype="f8"))
-        qvals.append(q)
-    return qvals[::-1], coeffs[::-1]
+            c *= Fraction(2 * ellout + 1, 2 * L + 1)
+        ells.append(L)
+        coeffs.append(float(c))
+    return ells, coeffs
 
 
 # ----------------------------------------------------------------------- chain diagnostics

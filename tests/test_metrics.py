@@ -119,3 +119,22 @@ def test_multi_diagnostics(rng):
     x = jnp.asarray(rng.standard_normal((4, 500, 3)))
     assert np.isfinite(float(multi_ess(x)))
     assert abs(float(multi_gr(x)) - 1.0) < 0.1
+
+
+def test_wigner3j_square_legendre_linearization():
+    """Coefficients reproduce direct Legendre polynomial multiplication."""
+    from numpy.polynomial import legendre as npleg
+
+    from montecosmo_tpu.metrics import wigner3j_square
+
+    for lo, li in [(0, 0), (1, 1), (2, 2), (4, 2), (2, 4), (6, 4)]:
+        prod = npleg.legmul([0] * lo + [1], [0] * li + [1])
+        ells, coeffs = wigner3j_square(lo, li, prefactor=False)
+        expect = [prod[L] if L < len(prod) else 0.0 for L in ells]
+        np.testing.assert_allclose(coeffs, expect, atol=1e-12)
+        np.testing.assert_allclose(sum(coeffs), 1.0, rtol=1e-12)  # P_l(1)=1
+    # window prefactor convention: (2 ellout + 1) / (2 L + 1)
+    ells, with_pref = wigner3j_square(2, 2, prefactor=True)
+    _, plain = wigner3j_square(2, 2, prefactor=False)
+    np.testing.assert_allclose(
+        with_pref, [5.0 / (2 * L + 1) * c for L, c in zip(ells, plain)])
