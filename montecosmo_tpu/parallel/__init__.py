@@ -1,4 +1,7 @@
 from montecosmo_tpu.parallel.mesh import make_device_mesh
+from montecosmo_tpu.parallel.cluster import (
+    init_distributed, is_distributed, pod_mesh, process_summary,
+)
 from montecosmo_tpu.parallel.fft import (
     pencil_rfftn, pencil_irfftn, pencil_rfftk, sharded_poisson_forces_mesh,
 )

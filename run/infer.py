@@ -27,7 +27,8 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
           self_data=False, fnl=0.0, expe="", overwrite=False, obs_names=(),
           n_chains=4, tune_mass=True, n_steps_field=2**12, dev_field=1e-5,
           n_steps_full=2**13, dev_full=1e-7, n_samples=None, n_runs=8,
-          thinning=64, scale_fid_fac=1.0, save_root="results"):
+          thinning=64, scale_fid_fac=1.0, save_root="results",
+          sampler="mclmc"):
     import jax
     from jax import config as jconfig, devices as jdevices, numpy as jnp
 
@@ -61,6 +62,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     mesh_length = int(round(np.prod(model.final_shape) ** (1 / 3)))
     tag = Path(register).stem.replace("register_", "")
     folder = (f"{tag}_{evolution}_{mesh_length}_fNL{fnl:.0f}"
+              + (f"_{sampler}" if sampler != "mclmc" else "")
               + ("_fourier" if lik_type == "fourier_gauss" else "")
               + ("_self" if self_data else "") + (f"_{expe}" if expe else ""))
     save_dir = Path(save_root) / folder
@@ -141,11 +143,11 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     state, config = full_warmup(
         model, obs, state, chains_dir, n_steps=n_steps_full,
         desired_energy_var=dev_full, n_chains=n_chains, tune_mass=tune_mass,
-        overwrite=overwrite)
+        overwrite=overwrite, sampler=sampler)
 
     full_run(model, state, config, chains_dir, n_samples=n_samples,
              n_runs=n_runs, n_chains=n_chains, thinning=thinning,
-             overwrite=overwrite)
+             overwrite=overwrite, sampler=sampler)
 
     make_chains(save_dir, start=1, end=100)
     print(f"Finished at {datetime.now().astimezone().isoformat()}")
@@ -178,7 +180,13 @@ def main():
     ap.add_argument("--n-samples", type=int, default=None)
     ap.add_argument("--n-runs", type=int, default=8)
     ap.add_argument("--thinning", type=int, default=64)
+    ap.add_argument("--sampler", default="mclmc",
+                    choices=["mclmc", "mams", "nuts"],
+                    help="phase-2/3 sampler (phase 1 stays MCLMC)")
     ap.add_argument("--save-root", default="results")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the multi-process jax.distributed "
+                         "runtime (TPU pod topology auto-detected)")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu); the JAX_PLATFORMS "
                          "env var is ignored when a TPU plugin is present")
@@ -187,6 +195,11 @@ def main():
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        from montecosmo_tpu.parallel.cluster import (
+            init_distributed, process_summary)
+        init_distributed()
+        print(process_summary())
 
     obs_names = list(args.obs) if args.obs is not None else list(DEFAULT_OBS)
     if args.lik_type == "fourier_gauss":
@@ -205,7 +218,8 @@ def main():
           obs_names=sorted(set(obs_names)), n_chains=args.n_chains,
           tune_mass=not args.no_tune_mass, n_steps_field=args.n_steps_field,
           n_steps_full=args.n_steps_full, n_samples=args.n_samples,
-          n_runs=args.n_runs, thinning=args.thinning, save_root=args.save_root)
+          n_runs=args.n_runs, thinning=args.thinning,
+          save_root=args.save_root, sampler=args.sampler)
 
 
 if __name__ == "__main__":
