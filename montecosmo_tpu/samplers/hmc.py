@@ -375,14 +375,34 @@ def window_adaptation(kernel_factory, logdensity_fn, num_steps, initial_position
     """
     if rng_key is None:
         rng_key = jr.key(0)
-    state = hmc_init(initial_position, logdensity_fn)
-    x0, unravel = _ravel(state.position)
-    d = x0.shape[0]
+    carry = _wa_carry0(logdensity_fn, initial_position, initial_step_size)
+    x0 = _ravel(carry[0].position)[0]
 
     update_now, in_slow = _adaptation_schedule(num_steps)
+    keys = jr.split(rng_key, num_steps)
+    carry, hist = _wa_chunk(
+        carry, (keys, jnp.asarray(update_now), jnp.asarray(in_slow, x0.dtype)),
+        kernel_factory, logdensity_fn, target_acceptance_rate, **kernel_kwargs)
+    return _wa_finalize(carry), hist
+
+
+def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3):
+    """Initial window-adaptation carry: (state, dual-avg, invmm, Welford)."""
+    state = hmc_init(initial_position, logdensity_fn)
+    x0 = _ravel(state.position)[0]
+    d = x0.shape[0]
     da = _da_init(jnp.asarray(initial_step_size))
     invmm = jnp.ones(d, x0.dtype)
     welford = (jnp.zeros(()), jnp.zeros(d, x0.dtype), jnp.zeros(d, x0.dtype))
+    return (state, da, invmm, welford)
+
+
+def _wa_chunk(carry, xs, kernel_factory, logdensity_fn,
+              target_acceptance_rate=0.65, **kernel_kwargs):
+    """Scan a chunk of window-adaptation steps; xs = (keys, update, slow)
+    slices of the precomputed schedule. Pure and vmappable; host-level
+    chunking (axon program-length limit) keeps the trajectory identical."""
+    d = _ravel(carry[0].position)[0].shape[0]
 
     def step(carry, xs):
         key, upd, slow = xs
@@ -416,13 +436,14 @@ def window_adaptation(kernel_factory, logdensity_fn, num_steps, initial_position
             num_integration_steps=info.get("num_integration_steps", 0),
             position=state.position)
 
-    keys = jr.split(rng_key, num_steps)
-    (state, da, invmm, _), hist = lax.scan(
-        step, (state, da, invmm, welford),
-        (keys, jnp.asarray(update_now), jnp.asarray(in_slow, x0.dtype)))
+    return lax.scan(step, carry, xs)
 
-    params = dict(step_size=jnp.exp(da.log_eps_avg), inverse_mass_matrix=invmm)
-    return (state, params), hist
+
+def _wa_finalize(carry):
+    """Final (state, params) from the window-adaptation carry."""
+    state, da, invmm, _ = carry
+    return state, dict(step_size=jnp.exp(da.log_eps_avg),
+                       inverse_mass_matrix=invmm)
 
 
 # ======================================================================= within-Gibbs
@@ -492,6 +513,8 @@ def mwg_kernel_general(seed, state, logdf, step_fn, init_fn, config):
                                "num_integration_steps": info["num_integration_steps"]}
         infos["n_evals"] += info["num_integration_steps"]
 
+    # the last-updated block's logdensity is the joint at the final union
+    infos["logdensity"] = state[k].logdensity
     return state, infos
 
 

@@ -402,6 +402,29 @@ def mams_warmup(seed, init_pos, logdf, n_steps=0, config=None,
     if n_steps == 0:
         return state, config
 
+    carry = _mams_carry0(state, config, flat.dtype, d)
+    xs = (jnp.arange(n_steps), jr.split(tune_seed, n_steps))
+    carry = _mams_chunk(carry, xs, logdf, target_acc_rate, max_steps,
+                        L_proposal_factor)
+    return _mams_finalize(carry, diagonal_preconditioning)
+
+
+def _mams_carry0(state, config, dtype, d):
+    """Initial MAMS adaptation carry: (state, params, position moments)."""
+    mom0 = (jnp.zeros((), dtype), jnp.zeros(d, dtype), jnp.zeros(d, dtype))
+    return (state, config, mom0)
+
+
+def _mams_chunk(carry, xs, logdf, target_acc_rate=0.65, max_steps=128,
+                L_proposal_factor=jnp.inf):
+    """Scan a chunk of MAMS warmup steps; xs = (step indices, keys).
+
+    Pure and vmappable; slicing (indices, keys) at the host level keeps the
+    Robbins-Monro trajectory identical to one long scan (the learning rate
+    depends on the GLOBAL step index carried in xs) — required on the axon
+    runtime, which kills long device programs.
+    """
+
     def step(carry, xs):
         i, key = xs
         state, params, (w_sum, x_sum, x2_sum) = carry
@@ -422,11 +445,14 @@ def mams_warmup(seed, init_pos, logdf, n_steps=0, config=None,
         x2_sum = x2_sum + x**2
         return (state, params, (w_sum, x_sum, x2_sum)), None
 
-    mom0 = (jnp.zeros((), flat.dtype), jnp.zeros(d, flat.dtype), jnp.zeros(d, flat.dtype))
-    carry = (state, config, mom0)
-    xs = (jnp.arange(n_steps), jr.split(tune_seed, n_steps))
-    (state, params, (w_sum, x_sum, x2_sum)), _ = lax.scan(step, carry, xs)
+    return lax.scan(step, carry, xs)[0]
 
+
+def _mams_finalize(carry, diagonal_preconditioning):
+    """Final (state, MCLMCAdaptationState) from the MAMS adaptation carry."""
+    state, params, (w_sum, x_sum, x2_sum) = carry
+    flat, _ = _ravel(state.position)
+    d = flat.shape[0]
     x_avg = x_sum / jnp.maximum(w_sum, 1)
     variances = jnp.maximum(x2_sum / jnp.maximum(w_sum, 1) - x_avg**2, 1e-12)
     if diagonal_preconditioning:

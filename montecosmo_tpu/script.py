@@ -28,7 +28,8 @@ from jax import jit, numpy as jnp, random as jr, vmap
 
 from montecosmo_tpu.parallel.chains import map_chains
 from montecosmo_tpu.samplers import (
-    IntegratorState, MCLMCAdaptationState, get_mclmc_run, get_mclmc_warmup,
+    IntegratorState, MCLMCAdaptationState, get_mams_run, get_mclmc_run,
+    get_mclmc_warmup,
 )
 from montecosmo_tpu.samplers.mclmc import (
     MCLMCAdaptationState as _AdaptState, _warmup_carry0, _warmup_chunk,
@@ -111,6 +112,113 @@ def _segments(n_steps, max_steps):
     return sizes
 
 
+def _segmented_mams_warmup(logpdf, n_steps, tune_mass, n_chains, key, pos):
+    """MAMS (adjusted MCLMC) warmup chunked into short device programs.
+
+    The Robbins-Monro carry and the global step indices are threaded across
+    chunks, so the tuning trajectory is identical to one monolithic scan."""
+    from montecosmo_tpu.samplers.mclmc import (
+        _mams_carry0, _mams_chunk, _mams_finalize,
+    )
+
+    def prep(seed):  # mirrors mams_warmup's key bookkeeping exactly
+        init_seed, tune_seed = jr.split(seed, 2)
+        return init_seed, jr.split(tune_seed, n_steps)
+
+    init_seeds, keys = jit(vmap(prep))(jr.split(key, n_chains))
+
+    def init_carry(init_seed, p):
+        state = mclmc_init(p, logpdf, init_seed)
+        flat = jax.flatten_util.ravel_pytree(state.position)[0]
+        d = flat.shape[0]
+        config = _AdaptState(jnp.asarray(d**0.5, flat.dtype),
+                             jnp.asarray(d**0.5 / 64, flat.dtype),
+                             inverse_mass_matrix=jnp.ones(d, flat.dtype))
+        return _mams_carry0(state, config, flat.dtype, d)
+
+    carry = jit(vmap(init_carry))(init_seeds, pos)
+    chunk = jit(vmap(partial(_mams_chunk, logdf=logpdf)))
+    idx = jnp.arange(n_steps)
+    i = 0
+    for seg in _segments(n_steps, MAX_STEPS_PER_CALL):
+        ids = jnp.broadcast_to(idx[i:i + seg], (n_chains, seg))
+        carry = chunk(carry, xs=(ids, keys[:, i:i + seg]))
+        i += seg
+    return jit(vmap(partial(_mams_finalize,
+                            diagonal_preconditioning=tune_mass)))(carry)
+
+
+def _nuts_blocks(names):
+    """Default NUTS-within-Gibbs block split: field vs scalars, empty blocks
+    dropped (e.g. a fully observed field leaves plain NUTS on the scalars)."""
+    mesh_keys = [k for k in names if k.endswith("mesh_")]
+    rest_keys = [k for k in names if k not in mesh_keys]
+    blocks = {}
+    if mesh_keys:
+        blocks["mesh_"] = mesh_keys
+    if rest_keys:
+        blocks["rest_"] = rest_keys
+    return blocks
+
+
+def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
+                           initial_step_size=1e-3, target=0.8):
+    """Blocked NUTS window adaptation (Stan fast/slow/fast schedule), chunked
+    into short device programs along the precomputed schedule.
+
+    Returns (state: {block: HMCState} batched over chains,
+             config: {block: {step_size, inverse_mass_matrix}},
+             n_evals: total integration steps)."""
+    from montecosmo_tpu.samplers.hmc import (
+        _adaptation_schedule, _wa_carry0, _wa_chunk, _wa_finalize, nuts_kernel,
+    )
+
+    blocks = _nuts_blocks(list(pos))
+    update_now, in_slow = _adaptation_schedule(n_steps)
+    update_now = jnp.asarray(update_now)
+    in_slow = jnp.asarray(in_slow, jnp.result_type(float))
+
+    block_keys = {name: jit(vmap(lambda s: jr.split(s, n_steps)))(
+        jr.split(jr.fold_in(key, i), n_chains))
+        for i, name in enumerate(blocks)}
+
+    state, config = {}, {}
+    others = dict(pos)  # running per-chain values of the not-yet-warmed blocks
+    n_evals = 0.0
+    for name, keys in blocks.items():
+        p_block = {k: others[k] for k in blocks[name]}
+        rest = {k: v for k, v in others.items() if k not in blocks[name]}
+
+        def carry0(p, other):
+            return _wa_carry0(lambda v: logpdf({**other, **v}), p,
+                              initial_step_size)
+
+        def chunk(carry, xs, other):
+            return _wa_chunk(carry, xs, nuts_kernel,
+                             lambda v: logpdf({**other, **v}),
+                             target_acceptance_rate=target)
+
+        import time as _time
+
+        carry = jit(vmap(carry0))(p_block, rest)
+        chunk_jit = jit(vmap(chunk))  # hoisted: one compile per segment size
+        i = 0
+        for seg in _segments(n_steps, max(1, MAX_STEPS_PER_CALL // 32)):
+            _t0 = _time.time()
+            xs = (block_keys[name][:, i:i + seg],
+                  jnp.broadcast_to(update_now[i:i + seg], (n_chains, seg)),
+                  jnp.broadcast_to(in_slow[i:i + seg], (n_chains, seg)))
+            carry, hist = chunk_jit(carry, xs, rest)
+            n_evals += float(jnp.sum(hist["num_integration_steps"]))
+            i += seg
+            print(f"  nuts warmup [{name}] {i}/{n_steps} "
+                  f"({_time.time() - _t0:.1f}s)", flush=True)
+        state[name], config[name] = jit(vmap(_wa_finalize))(carry)
+        others = {**others, **state[name].position}
+
+    return state, config, n_evals
+
+
 def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
                  scale_field=7 / 8, seed=43, overwrite=False):
     """Field-only warmup: fix every latent to fiducial, condition on the
@@ -187,10 +295,19 @@ def plot_field_warmup(model, params_start, state, save_dir, prob=(0.68, 0.95)):
 
 
 def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var,
-                n_chains, tune_mass, eval_per_ess=1e3, seed=43, overwrite=False):
+                n_chains, tune_mass, eval_per_ess=1e3, seed=43, overwrite=False,
+                sampler="mclmc"):
     """Full warmup: condition on `obs`, tune every other latent, seed the
-    field from the field-warmup state.  Tuned configs collapse to the shared
-    median config with L = 0.4 * (eval_per_ess / 2) * step_size."""
+    field from the field-warmup state.
+
+    sampler='mclmc' : MCLMC energy-variance tuner; tuned configs collapse to
+      the shared median config with L = 0.4 * (eval_per_ess / 2) * step_size.
+    sampler='mams'  : Robbins-Monro acceptance tuner (target 0.65); median
+      collapse of (L, step_size, invmm), no eval/ESS L override (adjusted
+      chains need no implicit-thinning L).
+    sampler='nuts'  : blocked Stan window adaptation; median collapse of the
+      per-block (step_size, invmm).
+    """
     chains_dir = Path(chains_dir)
     chains_dir.mkdir(parents=True, exist_ok=True)
     state_path = chains_dir / "full_warm_state.h5"
@@ -207,16 +324,41 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             params_warm |= state_field.position
         print("Full warmup params:", list(params_warm))
 
+        if sampler == "nuts":
+            with phase("full_warmup"):
+                state, config, n_evals = _segmented_nuts_warmup(
+                    model.logpdf, n_steps, n_chains, jr.key(seed), params_warm)
+            print(f"\nNUTS warmup n_evals: {n_evals:.3g}")
+            for name, conf in config.items():
+                ss = jnp.median(conf["step_size"])
+                invmm = jnp.median(conf["inverse_mass_matrix"], 0)
+                config[name] = {
+                    "step_size": jnp.broadcast_to(ss, (n_chains,)),
+                    "inverse_mass_matrix": jnp.broadcast_to(
+                        invmm, (n_chains, *invmm.shape))}
+                print(f"block {name}: ss {float(ss):.3e}, "
+                      f"invmm mean {float(invmm.mean()):.3e}")
+            _save_nuts_state(state_path, state)
+            h5save_tree(conf_path, config)
+            return state, config
+
         with phase("full_warmup"):
-            state, config = _segmented_warmup(
-                model.logpdf, n_steps, desired_energy_var, tune_mass,
-                n_chains, jr.key(seed), params_warm)
+            if sampler == "mams":
+                state, config = _segmented_mams_warmup(
+                    model.logpdf, n_steps, tune_mass, n_chains,
+                    jr.key(seed), params_warm)
+            else:
+                state, config = _segmented_warmup(
+                    model.logpdf, n_steps, desired_energy_var, tune_mass,
+                    n_chains, jr.key(seed), params_warm)
         print_mclmc_config(config, state)
 
         ss = jnp.median(config.step_size)
         invmm = config.inverse_mass_matrix
         invmm = jnp.median(invmm, 0) if jnp.ndim(invmm) > 1 else jnp.median(invmm)
-        config = MCLMCAdaptationState(L=0.4 * eval_per_ess / 2 * ss, step_size=ss,
+        L = jnp.median(config.L) if sampler == "mams" \
+            else 0.4 * eval_per_ess / 2 * ss
+        config = MCLMCAdaptationState(L=L, step_size=ss,
                                       inverse_mass_matrix=invmm)
         config = jax.tree.map(
             lambda x: np.broadcast_to(np.asarray(x), (n_chains, *np.shape(x))),
@@ -227,31 +369,90 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
         h5save_tree(conf_path, config)
     else:
         print("\nLoading full warmup...")
-        state = h5load_tree(state_path, IntegratorState)
-        config = h5load_tree(conf_path, MCLMCAdaptationState)
+        if sampler == "nuts":
+            state = _load_nuts_state(state_path)
+            config = h5load(conf_path)
+        else:
+            state = h5load_tree(state_path, IntegratorState)
+            config = h5load_tree(conf_path, MCLMCAdaptationState)
     return state, config
 
 
+def _save_nuts_state(path, state):
+    h5save_tree(path, state)
+
+
+def _load_nuts_state(path):
+    from montecosmo_tpu.samplers import HMCState
+
+    raw = h5load(path)
+    return {name: HMCState(**fields) for name, fields in raw.items()}
+
+
 def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
-             thinning=64, seed=42, overwrite=False):
-    """Sampling runs with per-run HDF5 saves and last-state resume."""
+             thinning=64, seed=42, overwrite=False, sampler="mclmc"):
+    """Sampling runs with per-run HDF5 saves and last-state resume.
+
+    sampler='mclmc'/'mams' carry (IntegratorState, MCLMCAdaptationState);
+    'nuts' runs blocked NUTS-within-Gibbs sweeps (thinning ignored — every
+    sweep is a kept sample)."""
     chains_dir = Path(chains_dir)
     chains_dir.mkdir(parents=True, exist_ok=True)
     last_path = chains_dir / "run_last_state.h5"
 
     start = 1
     if last_path.exists() and not overwrite:
-        state = h5load_tree(last_path, IntegratorState)
+        state = _load_nuts_state(last_path) if sampler == "nuts" \
+            else h5load_tree(last_path, IntegratorState)
         while (chains_dir / f"run_{start}.h5").exists() and start <= n_runs:
             start += 1
         print(f"Resuming at run {start}...")
 
     print("Running...")
-    max_samp = max(1, MAX_STEPS_PER_CALL // max(1, thinning)) \
-        if MAX_STEPS_PER_CALL else n_samples
+    if sampler == "nuts":
+        # a sweep costs up to blocks x 2^depth evals: chunk a few per program
+        max_samp = max(1, MAX_STEPS_PER_CALL // 32) if MAX_STEPS_PER_CALL \
+            else n_samples
+    elif sampler == "mams":
+        # a kept sample is `thinning` trajectories of ~L/eps integration steps
+        max_samp = max(1, MAX_STEPS_PER_CALL // max(1, 8 * thinning)) \
+            if MAX_STEPS_PER_CALL else n_samples
+    else:
+        max_samp = max(1, MAX_STEPS_PER_CALL // max(1, thinning)) \
+            if MAX_STEPS_PER_CALL else n_samples
     key = jr.key(seed)
     for _ in range(1, start):  # fresh randomness for resumed runs
         key, _ = jr.split(key, 2)
+
+    # one jitted runner per distinct segment size (hoisted out of the run
+    # loop: a fresh jit wrapper per call would recompile every chunk)
+    _runners = {}
+
+    def _make_runner(seg):
+        if sampler == "nuts":
+            from montecosmo_tpu.samplers import nutswg_init
+            from montecosmo_tpu.samplers.hmc import sampling_loop_general
+
+            step_fn, init_fn, _, _ = nutswg_init(model.logpdf)
+
+            def sweep(sd, st, cf):
+                st, (union, infos) = sampling_loop_general(
+                    sd, st, model.logpdf, step_fn, init_fn, cf, seg)
+                return st, {**union,
+                            "logdensity": infos["logdensity"],
+                            "n_evals": infos["n_evals"]}
+
+            batched = jit(vmap(sweep))
+            return lambda key, st: batched(jr.split(key, n_chains), st, config)
+        getter = get_mams_run if sampler == "mams" else get_mclmc_run
+        run_fn = map_chains(getter(model.logpdf, seg, thinning=thinning,
+                                   progress_bar=False), n_chains)
+        return lambda key, st: run_fn(jr.split(key, n_chains), st, config)
+
+    def run_segment(run_key, state, seg):
+        if seg not in _runners:
+            _runners[seg] = _make_runner(seg)
+        return _runners[seg](run_key, state)
 
     for i_run in range(start, n_runs + 1):
         print(f"run {i_run}/{n_runs}")
@@ -259,20 +460,25 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         with phase("full_run"):
             chunks = []
             for seg in _segments(n_samples, max_samp):
-                run_fn = map_chains(get_mclmc_run(
-                    model.logpdf, seg, thinning=thinning,
-                    progress_bar=False), n_chains)
                 run_key, k = jr.split(run_key)
-                state, part = run_fn(jr.split(k, n_chains), state, config)
+                state, part = run_segment(k, state, seg)
                 chunks.append(part)
             samples = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=1), *chunks) \
                 if len(chunks) > 1 else chunks[0]
 
-        print("MSE per dim:", np.asarray(jnp.mean(samples["mse_per_dim"], 1)), "\n")
+        if "mse_per_dim" in samples:
+            print("MSE per dim:",
+                  np.asarray(jnp.mean(samples["mse_per_dim"], 1)), "\n")
+        elif "acceptance_rate" in samples:
+            print("acceptance:",
+                  np.asarray(jnp.mean(samples["acceptance_rate"], 1)), "\n")
         h5save(chains_dir / f"run_{i_run}.h5",
                {k: _to_savable(v) for k, v in samples.items()})
-        h5save_tree(last_path, state)
+        if sampler == "nuts":
+            _save_nuts_state(last_path, state)
+        else:
+            h5save_tree(last_path, state)
     return state
 
 
