@@ -31,7 +31,8 @@ def compute_lin_kpow(cosmo, kmin=1e-4, kmax=1e1, n_interp=256):
     return np.stack((np.asarray(ks), np.asarray(pows)))
 
 
-def build_init(init_shape, cosmo, box_size, real_ic=None, seed=42):
+def build_init(init_shape, cosmo, box_size, real_ic=None, seed=42,
+               lin_kpow=None):
     """Init dict: lin_kpow + whitened ICs (real mesh whitened via lin2white,
     or a synthetic unit-power draw as `white_fake`)."""
     from jax import numpy as jnp
@@ -39,7 +40,8 @@ def build_init(init_shape, cosmo, box_size, real_ic=None, seed=42):
     from montecosmo_tpu.models.bricks import lin2white, white_noise
     from montecosmo_tpu.ops.hermitian import chreshape, r2chshape
 
-    lin_kpow = compute_lin_kpow(cosmo)
+    if lin_kpow is None:
+        lin_kpow = compute_lin_kpow(cosmo)
     init = {"lin_kpow": lin_kpow}
     if real_ic is not None:
         fmesh = jnp.fft.rfftn(jnp.asarray(real_ic))
@@ -91,11 +93,18 @@ def synthetic_mock(cosmo, box_size=640.0, n_ptcl=32, a_obs=0.5, seed=0):
 
 def register(args):
     from montecosmo_tpu.models.model import FieldLevelModel
-    from montecosmo_tpu.ops.background import AbacusSummit0
+    from montecosmo_tpu.ops.background import AbacusSummit0, get_cosmology
     from montecosmo_tpu.ops.hermitian import scale_shape
     from montecosmo_tpu.utils.io import h5save
 
-    cosmo = AbacusSummit0()
+    if getattr(args, "cosmoprimo", None):
+        # Boltzmann-grade fiducial P(k) + cosmology loc (optional dependency)
+        from run.catalogs import lin_kpow_cosmoprimo
+        args._lin_kpow, loc = lin_kpow_cosmoprimo(args.cosmoprimo)
+        cosmo = get_cosmology(**loc)
+    else:
+        args._lin_kpow = None
+        cosmo = AbacusSummit0()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -111,10 +120,14 @@ def register(args):
             box_center=(0.0, 0.0, 0.0), padding=args.padding,
             init_oversamp=args.init_oversamp, paint_oversamp=args.paint_oversamp)
     elif args.mode == "fullsky":
-        data = {"pos": np.load(args.pos)}
-        if args.vel:
+        from run.catalogs import load_box_catalog, load_ic_mesh
+
+        data = load_box_catalog(args.pos, pos_cols=args.pos_cols.split(","),
+                                vel_cols=args.vel_cols.split(",") if args.vel_cols
+                                else None)
+        if args.vel:  # separate velocity file (.npy)
             data["vel"] = np.load(args.vel)
-        real_ic = np.load(args.ic) if args.ic else None
+        real_ic = load_ic_mesh(args.ic, args.ic_growth) if args.ic else None
         box_size = np.full(3, args.box_size)
         tag = Path(args.pos).stem
         reg = FieldLevelModel.register_catalog(
@@ -123,8 +136,10 @@ def register(args):
             box_center=(0.0, 0.0, 0.0), padding=args.padding,
             init_oversamp=args.init_oversamp, paint_oversamp=args.paint_oversamp)
     elif args.mode == "cutsky":
-        data = dict(np.load(args.data))
-        random = dict(np.load(args.random))
+        from run.catalogs import load_cutsky_catalog
+
+        data = load_cutsky_catalog(args.data)
+        random = load_cutsky_catalog(args.random)
         real_ic = None
         tag = Path(args.data).stem
         reg = FieldLevelModel.register_catalog(
@@ -137,7 +152,8 @@ def register(args):
     final_shape = reg["count_mesh"].shape
     init_shape = scale_shape(final_shape, reg["init_oversamp"])
     box = np.multiply(final_shape, reg["cell_length"])
-    reg |= build_init(init_shape, cosmo, box, real_ic=real_ic, seed=args.seed)
+    reg |= build_init(init_shape, cosmo, box, real_ic=real_ic, seed=args.seed,
+                      lin_kpow=args._lin_kpow)
 
     mesh_len = int(round(np.prod(final_shape) ** (1 / 3)))
     path = out / f"register_{tag}_b{mesh_len}_p{args.padding:g}.h5"
@@ -160,20 +176,36 @@ def main():
     common.add_argument("--out", type=str, default="registered")
     common.add_argument("--platform", type=str, default=None,
                         help="jax platform override (e.g. cpu)")
+    common.add_argument("--cosmoprimo", type=str, default=None,
+                        help="optional cosmoprimo fiducial factory name (e.g. "
+                             "AbacusSummit) for Boltzmann-grade lin P(k); "
+                             "requires the cosmoprimo package")
 
     syn = sub.add_parser("synthetic", parents=[common])
     syn.add_argument("--box-size", type=float, default=640.0)
     syn.add_argument("--n-ptcl", type=int, default=64)
 
     full = sub.add_parser("fullsky", parents=[common])
-    full.add_argument("--pos", required=True, help=".npy (n, 3) positions [Mpc/h]")
+    full.add_argument("--pos", required=True,
+                      help="positions: .npy (n,3) [Mpc/h], or tabular "
+                           ".fits/.npz/.h5 (see --pos-cols), or Abacus .asdf")
+    full.add_argument("--pos-cols", default="x,y,z",
+                      help="position column names in tabular catalogs")
+    full.add_argument("--vel-cols", default=None,
+                      help="velocity column names in tabular catalogs "
+                           "(e.g. vx,vy,vz) [km/s]")
     full.add_argument("--vel", help=".npy (n, 3) peculiar velocities [km/s]")
-    full.add_argument("--ic", help=".npy real-space linear IC mesh")
+    full.add_argument("--ic", help="real-space linear IC mesh: .npy or "
+                                   "AbacusSummit ic_dens .asdf")
+    full.add_argument("--ic-growth", type=int, default=None,
+                      help="GrowthTable index for .asdf ICs")
     full.add_argument("--box-size", type=float, required=True)
 
     cut = sub.add_parser("cutsky", parents=[common])
-    cut.add_argument("--data", required=True, help=".npz with RA/DEC/Z/WEIGHT")
-    cut.add_argument("--random", required=True, help=".npz with RA/DEC/Z/WEIGHT")
+    cut.add_argument("--data", required=True,
+                     help=".fits/.npz/.h5 with RA/DEC/Z[/WEIGHT]")
+    cut.add_argument("--random", required=True,
+                     help=".fits/.npz/.h5 with RA/DEC/Z[/WEIGHT]")
 
     args = ap.parse_args()
     if args.platform:
