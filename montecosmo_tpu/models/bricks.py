@@ -15,7 +15,7 @@ from jax.scipy.spatial.transform import Rotation
 
 from montecosmo_tpu.metrics import optim_mu2_delta
 from montecosmo_tpu.ops.background import Background, Cosmology, Esqr, RH, get_cosmology
-from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk
+from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk, irfftn, rfftn
 from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, r2chshape, rg2cgh, scale_shape,
 )
@@ -61,10 +61,10 @@ def add_png(cosmo: Cosmology, fNL, lin_mesh, box_size, kpow=None, bg=None):
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
     trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
 
-    phi = jnp.fft.irfftn(safe_div(lin_mesh, trans))
+    phi = irfftn(safe_div(lin_mesh, trans))
     phi2 = phi**2
     phi += fNL * (phi2 - phi2.mean())
-    return trans * jnp.fft.rfftn(phi)
+    return trans * rfftn(phi)
 
 
 def white_noise(seed, mesh_shape, box_size):
@@ -136,19 +136,19 @@ def kaiser_model(cosmo: Cosmology, a, lin_mesh, box_size, b1E, fNL_bp=0.0,
         boost = kaiser_boost(cosmo, a, mesh_shape, box_size, b1E=b1E,
                              fNL_bp=fNL_bp, png_type=png_type, los=los,
                              kpow=kpow, bg=bg)
-        delta = jnp.fft.irfftn(lin_mesh * boost)
+        delta = irfftn(lin_mesh * boost)
 
     elif los.shape == (3,):  # flat-sky, light-cone
         kvec = rfftk(mesh_shape, box_size)
         kmesh = sum(ki**2 for ki in kvec) ** 0.5
         mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, los)), kmesh)
 
-        delta = b1E * jnp.fft.irfftn(lin_mesh) \
-            + bg.a2f(a) * jnp.fft.irfftn(mumesh**2 * lin_mesh)
+        delta = b1E * irfftn(lin_mesh) \
+            + bg.a2f(a) * irfftn(mumesh**2 * lin_mesh)
         delta = bg.a2g(a) * delta
         if png_type is not None:
             trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
-            delta += fNL_bp * jnp.fft.irfftn(safe_div(lin_mesh, trans))
+            delta += fNL_bp * irfftn(safe_div(lin_mesh, trans))
 
     else:  # curved-sky
         delta, mu2_delta = optim_mu2_delta(lin_mesh, los)
@@ -157,7 +157,7 @@ def kaiser_model(cosmo: Cosmology, a, lin_mesh, box_size, b1E, fNL_bp=0.0,
             kvec = rfftk(mesh_shape, box_size)
             kmesh = sum(ki**2 for ki in kvec) ** 0.5
             trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
-            delta += fNL_bp * jnp.fft.irfftn(safe_div(lin_mesh, trans))
+            delta += fNL_bp * irfftn(safe_div(lin_mesh, trans))
 
     return 1 + delta
 
@@ -230,14 +230,14 @@ def samp2base_mesh(init: dict, precond, transfer, inv=False, temp=1.0) -> dict:
 
         if not inv:
             if precond == "real":
-                mesh = jnp.fft.rfftn(mesh)
+                mesh = rfftn(mesh)
             elif precond in ("fourier", "kaiser"):
                 mesh = rg2cgh(mesh)
             mesh = mesh * transfer  # ~ CN(0, Vcell^-1) unit-power white noise
         else:
             mesh = safe_div(mesh, transfer)
             if precond == "real":
-                mesh = jnp.fft.irfftn(mesh)
+                mesh = irfftn(mesh)
             elif precond in ("fourier", "kaiser"):
                 mesh = cgh2rg(mesh)
         return {out_name: mesh}
@@ -271,7 +271,7 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     fNL_bpd2, fNL_bps2 = png["fNL_bpd2"], png["fNL_bps2"]
     fNL_bn2p = png["fNL_bn2p"]
 
-    delta = jnp.fft.irfftn(lin_mesh)
+    delta = irfftn(lin_mesh)
     growths = bg.a2g(a)
     mesh_shape = delta.shape
     kvec = rfftk(mesh_shape, box_size)
@@ -284,10 +284,10 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     shear = {}
     for i in range(2):
         nabi = gradient_hat(kvec, i)
-        shear[(i, i)] = jnp.fft.irfftn(nabi**2 * pot - lin_mesh / 3)
+        shear[(i, i)] = irfftn(nabi**2 * pot - lin_mesh / 3)
         for j in range(i + 1, 3):
             nabj = gradient_hat(kvec, j)
-            shear[(i, j)] = jnp.fft.irfftn(nabi * nabj * pot)
+            shear[(i, j)] = irfftn(nabi * nabj * pot)
     shear[(2, 2)] = -(shear[(0, 0)] + shear[(1, 1)])
     sa, sb, sc = shear[(0, 0)], shear[(1, 1)], shear[(2, 2)]
     sd, se, sf = shear[(0, 1)], shear[(0, 2)], shear[(1, 2)]
@@ -296,15 +296,15 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     # bs3 operator = 3 det(shear) (Sarrus)
     shear3 = 3 * (sa * (sb * sc - sf**2) - sd * (sd * sc - se * sf)
                   + se * (sd * sf - sb * se))
-    delta_nab2 = jnp.fft.irfftn(-(kmesh**2) * lin_mesh)
-    grad_fields = [jnp.fft.irfftn(gradient_hat(kvec, i) * lin_mesh)
+    delta_nab2 = irfftn(-(kmesh**2) * lin_mesh)
+    grad_fields = [irfftn(gradient_hat(kvec, i) * lin_mesh)
                    for i in range(len(kvec))]  # in h/Mpc (velocity bias)
 
     fields = [delta, shear2, shear3, delta_nab2, *grad_fields]
     if png_type is not None:
         trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
-        phi = jnp.fft.irfftn(safe_div(lin_mesh, trans))
-        phi_nab2 = jnp.fft.irfftn(-(kmesh**2) * safe_div(lin_mesh, trans))
+        phi = irfftn(safe_div(lin_mesh, trans))
+        phi_nab2 = irfftn(-(kmesh**2) * safe_div(lin_mesh, trans))
         fields += [phi, phi_nab2]
     else:
         phi = 0.0
@@ -425,8 +425,8 @@ def eulerian_bias(matter_mesh, phi_mesh, box_size, bias, png, png_type=None):
     fNL_bpd = fNL * bpd_L2E(safe_div(fNL_bpd, fNL), safe_div(fNL_bp, fNL))
 
     matter_mesh = matter_mesh.at[0, 0, 0].set(0.0)  # ensure zero mean
-    delta = jnp.fft.irfftn(matter_mesh)
-    phi = jnp.fft.irfftn(phi_mesh)
+    delta = irfftn(matter_mesh)
+    phi = irfftn(phi_mesh)
 
     mesh_shape = delta.shape
     kvec = rfftk(mesh_shape, box_size)
@@ -448,13 +448,13 @@ def eulerian_bias(matter_mesh, phi_mesh, box_size, bias, png, png_type=None):
     shear2 = 0.0
     for i in range(len(kvec)):
         nabi = gradient_hat(kvec, i)
-        shear2 += jnp.fft.irfftn(nabi**2 * pot - matter_mesh / 3) ** 2
+        shear2 += irfftn(nabi**2 * pot - matter_mesh / 3) ** 2
         for j in range(i + 1, len(kvec)):
             nabj = gradient_hat(kvec, j)
-            shear2 += 2 * jnp.fft.irfftn(nabi * nabj * pot) ** 2
+            shear2 += 2 * irfftn(nabi * nabj * pot) ** 2
     weights += bs2 * (shear2 - 2 / 3 * sigma2)
 
-    weights += bn2 * jnp.fft.irfftn(-(kmesh**2) * matter_mesh)
+    weights += bn2 * irfftn(-(kmesh**2) * matter_mesh)
     dvel = 0.0
     return weights, dvel
 
@@ -810,7 +810,7 @@ def cutsky2selection(data, bg: Background, mask_shape, selec_shape, paint_shape,
     selec = nufft(pos, tuple(selec_shape), paint_shape, weights=weights,
                   paint_order=paint_order, interlace_order=interlace_order,
                   paint_deconv=paint_deconv)
-    selec = jnp.fft.irfftn(selec)
+    selec = irfftn(selec)
 
     mask = paint(pos, tuple(selec_shape), weights=weights, order=paint_order) > 0
     selec = selec / selec[mask].mean()
@@ -834,7 +834,7 @@ def cutsky2count(data, bg: Background, count_shape, paint_shape,
     count = nufft(pos, tuple(count_shape), paint_shape, weights=weights,
                   paint_order=paint_order, interlace_order=interlace_order,
                   paint_deconv=paint_deconv)
-    return jnp.fft.irfftn(count)
+    return irfftn(count)
 
 
 def fullsky2count(data, bg: Background, a_obs: float, los,
@@ -864,7 +864,7 @@ def fullsky2count(data, bg: Background, a_obs: float, los,
 
     @jax.jit
     def finish(re, im):
-        return jnp.fft.irfftn(jax.lax.complex(re, im))
+        return irfftn(jax.lax.complex(re, im))
 
     count_re = count_im = 0.0
     for chunk in chunks:

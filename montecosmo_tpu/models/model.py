@@ -41,7 +41,7 @@ from montecosmo_tpu.models.distributions import (
     TwoQuadGaussian,
 )
 from montecosmo_tpu.ops.background import Background, Cosmology, get_cosmology
-from montecosmo_tpu.ops.fourier import rfftk, top_hat
+from montecosmo_tpu.ops.fourier import rfftk, top_hat, irfftn, rfftn
 from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, chreshape, masked2mesh, mesh2masked, r2chshape, rg2cgh,
     scale_shape,
@@ -403,7 +403,7 @@ class FieldLevelModel(Model):
             if self.lik_type == "fourier_gauss":
                 # jit: eager rfftn/repack are complex ops (axon rejects them)
                 self.count_mesh = jax.jit(
-                    lambda m: cgh2rg(jnp.fft.rfftn(m)))(
+                    lambda m: cgh2rg(rfftn(m)))(
                     jnp.asarray(np.asarray(reg["count_mesh"], np.float32)))
             else:
                 self.count_mesh = mesh2masked(jnp.asarray(reg["count_mesh"]),
@@ -602,7 +602,7 @@ class FieldLevelModel(Model):
                     pos = ap_param(pos, los, ap, self.curved_sky)
                 pos = phys2cell_pos(pos, self.box_center, self.box_rot,
                                     self.box_size, self.paint_shape)
-                gxy_mesh = jnp.fft.irfftn(nufft(
+                gxy_mesh = irfftn(nufft(
                     pos, self.paint_shape, None, weights=weights,
                     paint_order=self.paint_order,
                     interlace_order=self.interlace_order,
@@ -612,7 +612,7 @@ class FieldLevelModel(Model):
                 gxy_mesh *= np.prod(np.divide(self.evol_shape, self.ptcl_shape))
 
             if tuple(gxy_mesh.shape) != tuple(self.final_shape):
-                gxy_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(gxy_mesh),
+                gxy_mesh = irfftn(chreshape(rfftn(gxy_mesh),
                                                     r2chshape(self.final_shape)))
 
         else:
@@ -703,7 +703,7 @@ class FieldLevelModel(Model):
                                  max_disp=self.max_disp, clip=True)
                 gxy_mesh *= np.prod(np.divide(self.init_shape, self.ptcl_shape))
                 gxy_mesh = chreshape(gxy_mesh, r2chshape(self.paint_shape))
-                gxy_mesh = jnp.fft.irfftn(gxy_mesh)
+                gxy_mesh = irfftn(gxy_mesh)
 
             elif self.bias_type == "eulerian":
                 def advect(weights):
@@ -738,7 +738,7 @@ class FieldLevelModel(Model):
         rcounts = syst["ngbars"] * self.cell_length**3
         posit_fn = jnp.abs
 
-        count_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(gxy_mesh * self.selec_mesh),
+        count_mesh = irfftn(chreshape(rfftn(gxy_mesh * self.selec_mesh),
                                               r2chshape(self.final_shape)))
         count_mesh = mesh2masked(count_mesh, self.mask_mesh)
         # radius mesh built in-graph from iotas (an N^3 numpy constant would
@@ -747,7 +747,7 @@ class FieldLevelModel(Model):
         count_mesh = set_radial_count(count_mesh, rmasked, self.redges, rcounts)
 
         if np.ndim(self.selec_mesh) == 3:
-            selec_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(jnp.asarray(self.selec_mesh)),
+            selec_mesh = irfftn(chreshape(rfftn(jnp.asarray(self.selec_mesh)),
                                                   r2chshape(self.final_shape)))
             selec_mesh = mesh2masked(selec_mesh, self.mask_mesh)
             selec_mesh = set_radial_count(selec_mesh, rmasked, self.redges, rcounts)
@@ -756,7 +756,7 @@ class FieldLevelModel(Model):
             selec_mesh = jnp.mean(rcounts)
 
         if self.png_type is not None and jnp.ndim(phi) == 3:
-            phi = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(phi),
+            phi = irfftn(chreshape(rfftn(phi),
                                            r2chshape(self.final_shape)))
             phi = mesh2masked(phi, self.mask_mesh)
 
@@ -774,7 +774,7 @@ class FieldLevelModel(Model):
                              + stoch["s_kmu2e"] * (kmesh * mumesh) ** 2)
             scale = scale * selec_mesh**0.5 * temp**0.5
             scale = cgh2rg(scale.astype(jnp.complex64), norm="amp")
-            count_mesh = cgh2rg(jnp.fft.rfftn(count_mesh))
+            count_mesh = cgh2rg(rfftn(count_mesh))
             count_mesh = ppl.sample("count_mesh", Normal(count_mesh, scale))
 
         elif self.lik_type in ("quad_gauss", "two_quad_gauss", "shash"):
@@ -1023,12 +1023,12 @@ class FieldLevelModel(Model):
     def count2delta(self, mesh):
         """Counts -> overdensity under the global integral constraint."""
         if self.lik_type == "fourier_gauss":
-            mesh = jnp.fft.irfftn(rg2cgh(mesh))
+            mesh = irfftn(rg2cgh(mesh))
         else:
             mesh = self.masked2mesh(mesh)
 
         if np.ndim(self.selec_mesh) == 3 and self.selec_mesh.shape != mesh.shape:
-            selec = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(jnp.asarray(self.selec_mesh)),
+            selec = irfftn(chreshape(rfftn(jnp.asarray(self.selec_mesh)),
                                              r2chshape(mesh.shape)))
             selec = self.masked2mesh(self.mesh2masked(selec))
         else:
@@ -1080,7 +1080,7 @@ class FieldLevelModel(Model):
                 random, bg, mask_shape=final_shape, selec_shape=init_shape,
                 paint_shape=paint_shape, box_size=box_size, box_center=box_center,
                 box_rotvec=box_rotvec, **paint_kw)
-            selec_mesh = jnp.fft.irfftn(chreshape(jnp.fft.rfftn(selec_mesh),
+            selec_mesh = irfftn(chreshape(rfftn(selec_mesh),
                                                   r2chshape(paint_shape)))
             selec_mesh, mask_mesh = np.asarray(selec_mesh), np.asarray(mask_mesh)
             count_mesh = cutsky2count(data, bg, final_shape, paint_shape,
@@ -1179,7 +1179,7 @@ class FieldLevelModel(Model):
         observed counts (+ fiducial values for latents not in data) — MCMC
         initialization."""
         delta_obs = self.count2delta(self.count_mesh)
-        delta_obs = jnp.fft.rfftn(delta_obs)
+        delta_obs = rfftn(delta_obs)
         delta_obs = chreshape(delta_obs, r2chshape(self.init_shape))
 
         b1E_fid = b1_L2E(float(np.mean(self.fiduc["b1"])))

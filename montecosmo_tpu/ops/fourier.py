@@ -8,10 +8,60 @@ on TPU (VPU-bound, no materialized N^3 kernel tensors).
 Parity: reference `montecosmo/nbody.py:50-363` (rfftk/fftk, invlaplace/gradient/
 gaussian/top-hat kernels, B-spline & Kaiser-Bessel windows, deconv_paint).
 """
+from functools import partial
+
 import numpy as np
 from jax import numpy as jnp
 
 from montecosmo_tpu.utils.safe import safe_div
+
+
+# ------------------------------------------------------------------ 3-D FFT entry
+def _pencil_island(x, inverse):
+    """Pencil shard_map island for `x` when a mesh context is active and the
+    shapes divide; None -> caller falls back to the local FFT."""
+    from montecosmo_tpu.parallel.context import current_mesh_context
+
+    ctx = current_mesh_context()
+    if ctx is None or x.ndim != 3:
+        return None
+    mesh, ax = ctx
+    n_dev = mesh.shape[ax]
+    if n_dev <= 1 or x.shape[0] % n_dev or x.shape[1] % n_dev:
+        return None
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from montecosmo_tpu.parallel.fft import (
+        _pencil_irfftn_local, _pencil_rfftn_local,
+    )
+
+    if inverse:  # (X, Y, Hz+1) Y-pencil -> (X, Y, Z) X-slab
+        return shard_map(partial(_pencil_irfftn_local, axis_name=ax),
+                         mesh=mesh, in_specs=P(None, ax, None),
+                         out_specs=P(ax, None, None), check_vma=False)
+    return shard_map(partial(_pencil_rfftn_local, axis_name=ax),
+                     mesh=mesh, in_specs=P(ax, None, None),
+                     out_specs=P(None, ax, None), check_vma=False)
+
+
+def rfftn(x):
+    """3-D real FFT of a mesh (global-array semantics).
+
+    Inside `parallel.context.mesh_context` this decomposes into the pencil
+    shard_map island (two local 1-D FFT passes + ONE all_to_all over the
+    device-mesh axis; input X-slab sharded, output Y-pencil sharded) —
+    everything around it is partitioned by GSPMD from the island shardings.
+    Outside a context (or on non-dividing shapes) it is `jnp.fft.rfftn`.
+    """
+    island = _pencil_island(x, inverse=False)
+    return jnp.fft.rfftn(x) if island is None else island(x)
+
+
+def irfftn(x):
+    """Inverse of `rfftn` (even last extent), context-aware like it."""
+    island = _pencil_island(x, inverse=True)
+    return jnp.fft.irfftn(x) if island is None else island(x)
 
 
 # --------------------------------------------------------------------- wavevectors
@@ -182,6 +232,6 @@ def deconv_paint(mesh, order: int = 2, kernel_type="rectangular", oversamp=1.0):
 
     if jnp.isrealobj(mesh):
         kvec = rfftk(mesh.shape)
-        return jnp.fft.irfftn(jnp.fft.rfftn(mesh) / window_hat(kvec, order, kernel_type, oversamp))
+        return irfftn(rfftn(mesh) / window_hat(kvec, order, kernel_type, oversamp))
     kvec = rfftk(ch2rshape(mesh.shape))
     return mesh / window_hat(kvec, order, kernel_type, oversamp)

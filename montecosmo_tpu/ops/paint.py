@@ -24,6 +24,7 @@ import numpy as np
 from jax import lax, numpy as jnp
 
 from montecosmo_tpu.ops.fourier import (
+    irfftn, rfftn,
     bspline, kaiser_bessel, optim_kcut, rfftk, window_hat,
 )
 from montecosmo_tpu.ops.hermitian import chreshape, r2chshape, scale_shape
@@ -184,7 +185,7 @@ def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
         mesh = paint(pos + shift, shape, weights, paint_order,
                      kernel_type=kernel_type, oversamp=paint_oversamp,
                      lattice_shape=lattice_shape, max_disp=max_disp, clip=clip)
-        carry += jnp.fft.rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
+        carry += rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
         return carry, None
 
     out = jnp.zeros(r2chshape(shape), dtype=jnp.result_type(pos.dtype, jnp.complex64))

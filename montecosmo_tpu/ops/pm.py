@@ -22,6 +22,7 @@ from jax import checkpoint as jax_checkpoint, lax, numpy as jnp, tree_util
 
 from montecosmo_tpu.ops.background import Background, Cosmology, Esqr
 from montecosmo_tpu.ops.fourier import (
+    irfftn, rfftn,
     bspline_hat, gaussian_hat, gradient_hat, invlaplace_hat, rfftk,
 )
 from montecosmo_tpu.ops.hermitian import ch2rshape
@@ -40,7 +41,7 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     """
     if isinstance(mesh, tuple):
         mesh_shape = mesh
-        mesh = jnp.fft.rfftn(paint(pos, mesh_shape, order=read_order,
+        mesh = rfftn(paint(pos, mesh_shape, order=read_order,
                                    lattice_shape=lattice_shape,
                                    max_disp=max_disp, clip=True))
         if paint_deconv:
@@ -56,7 +57,7 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     # fuse the 3 component reads into one row-gather (TPU: ~3x fewer
     # random-access passes)
     grads = jnp.stack(
-        [jnp.fft.irfftn(-gradient_hat(kvec, i, grad_fd) * pot)
+        [irfftn(-gradient_hat(kvec, i, grad_fd) * pot)
          for i in range(len(kvec))], axis=-1)
     if sites_shape is not None and read_order <= 2:
         # pos is the exact regular lattice: strided slicing, no gathers
@@ -75,14 +76,14 @@ def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
     diag_sum = 0.0
     for i in range(len(kvec)):
         # running sum of products of diagonal Hessian terms
-        hess_ii = jnp.fft.irfftn(gradient_hat(kvec, i, grad_fd) ** 2 * pot)
+        hess_ii = irfftn(gradient_hat(kvec, i, grad_fd) ** 2 * pot)
         delta2 += hess_ii * diag_sum
         diag_sum += hess_ii
         for j in range(i + 1, len(kvec)):
             hess_ij = gradient_hat(kvec, i, grad_fd) * gradient_hat(kvec, j, grad_fd)
-            delta2 -= jnp.fft.irfftn(hess_ij * pot) ** 2
+            delta2 -= irfftn(hess_ij * pot) ** 2
 
-    return pm_forces(pos, jnp.fft.rfftn(delta2), read_order, grad_fd=grad_fd,
+    return pm_forces(pos, rfftn(delta2), read_order, grad_fd=grad_fd,
                      lap_fd=lap_fd, sites_shape=sites_shape)
 
 
@@ -95,7 +96,7 @@ def lpt(bg: Background, init_mesh, pos, a, lpt_order: int = 2,
     Velocities are in growth-time units: vel := d(dpos)/dD1.
     """
     if jnp.isrealobj(init_mesh):
-        init_mesh = jnp.fft.rfftn(init_mesh)
+        init_mesh = rfftn(init_mesh)
 
     force1 = pm_forces(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd,
                        sites_shape=sites_shape)
@@ -125,7 +126,7 @@ def lpt_fpm(bg: Background, init_mesh, pos, a, lpt_order: int = 1,
     else:
         # recompute split to convert each order with its own growth rate
         if jnp.isrealobj(init_mesh):
-            init_mesh = jnp.fft.rfftn(init_mesh)
+            init_mesh = rfftn(init_mesh)
         force1 = pm_forces(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd)
         force2 = pm_forces2(pos, init_mesh, read_order, grad_fd=grad_fd, lap_fd=lap_fd)
         dq1 = bg.a2g(a) * force1

@@ -1,4 +1,5 @@
 from montecosmo_tpu.parallel.mesh import make_device_mesh
+from montecosmo_tpu.parallel.context import current_mesh_context, mesh_context
 from montecosmo_tpu.parallel.cluster import (
     init_distributed, is_distributed, pod_mesh, process_summary,
 )
