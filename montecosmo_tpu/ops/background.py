@@ -148,6 +148,9 @@ class Background(NamedTuple):
     def create(cls, cosmo: Cosmology,
                growth_steps=GROWTH_STEPS, dist_steps=DIST_STEPS,
                log10_amin=GROWTH_LOG10_AMIN):
+        # NOTE: `_a_lookup` reconstructs the node grids from GROWTH_LOG10_AMIN
+        # + the static table length when the Background is a jit argument;
+        # a custom log10_amin is only valid for Backgrounds built in-trace.
         # ---- growth: y = [[D1, D2], [D1', D2']] (primes = d/da)
         atab = jnp.logspace(log10_amin, 0.0, growth_steps)
 
@@ -190,13 +193,15 @@ class Background(NamedTuple):
 
     def _a_lookup(self, a, ytab, atab):
         """Interp on the log-uniform a grid: index-arithmetic bracket + one
-        row gather when the nodes are concrete (they are unless a Background
-        is passed ACROSS a jit boundary, where we fall back to jnp.interp)."""
+        row gather (never searchsorted).  When a Background crosses a jit
+        boundary the node VALUES are traced, but the grid is the static
+        `logspace(GROWTH_LOG10_AMIN, 0, n)` by construction of `create`
+        (n is the static shape), so the concrete nodes are rebuilt."""
         from montecosmo_tpu.ops.interp import uniform_interp
         try:
             nodes = np.asarray(atab)
         except Exception:  # traced nodes: jit-argument Background
-            return jnp.interp(a, atab, ytab)
+            nodes = np.logspace(GROWTH_LOG10_AMIN, 0.0, atab.shape[0])
         x0 = float(np.log(nodes[0]))
         dx = float((np.log(nodes[-1]) - x0) / (nodes.size - 1))
         return uniform_interp(a, x0, dx, ytab, logx=True, xtab=nodes)

@@ -4,7 +4,7 @@ import jax
 from jax import numpy as jnp
 
 from montecosmo_tpu.ops.background import (
-    Background, Cosmology, Planck18, Esqr, RH, get_cosmology,
+    AbacusSummit0, Background, Cosmology, Planck18, Esqr, RH, get_cosmology,
 )
 
 
@@ -65,3 +65,21 @@ def test_background_jits():
     f = jax.jit(lambda om: Background.create(
         get_cosmology(Omega_m=om, sigma8=0.8)).a2chi(0.5))
     assert np.isfinite(float(f(0.31)))
+
+
+def test_background_as_jit_argument():
+    """A Background passed ACROSS the jit boundary (traced tables) must give
+    the same lookups as the in-trace path — the node grid is reconstructed
+    from the static table length, not searchsorted over traced values."""
+    bg = Background.create(AbacusSummit0())
+    a = jnp.asarray([1e-3, 0.013, 0.31, 0.57, 1.0])
+
+    lookups = jax.jit(lambda b, a: (b.a2g(a), b.a2f(a), b.a2g2(a), b.a2chi(a)))
+    got = lookups(bg, a)
+    want = (bg.a2g(a), bg.a2f(a), bg.a2g2(a), bg.a2chi(a))
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        # grid nodes are reconstructed in f64 vs the stored f32 tables:
+        # agreement is to f32 roundoff, relative to the table scale
+        np.testing.assert_allclose(g, w, rtol=2e-5,
+                                   atol=1e-5 * np.abs(w).max())
