@@ -297,3 +297,149 @@ def nbody_rk4(bg: Background, init_mesh, pos, a0, a1, n_steps=16,
 
     state, _ = lax.scan(jax_checkpoint(step), (pos, vel), a0 + da * jnp.arange(n_steps))
     return tree_util.tree_map(lambda x: x[None], state)
+
+
+# Tsitouras 5(4) embedded pair (Tsitouras 2011, standard published tableau).
+_TS_C = (0.161, 0.327, 0.9, 0.9800255409045097, 1.0)
+_TS_A = (
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+)
+_TS_B = (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+         -3.290069515436081, 2.324710524099774, 0.0)
+_TS_BTILDE = (  # b - b_hat: weights of the embedded 4th-order error estimate
+    -0.00178001105222577714, -0.0008164344596567469, 0.007880878010261995,
+    -0.1447110071732629, 0.5823571654525552, -0.45808210592918697,
+    1.0 / 66.0)
+
+
+def nbody_tsit5(bg: Background, init_mesh, pos, a0, a1, tol=1e-3,
+                paint_order: int = 2, grad_fd=4, lap_fd=np.inf,
+                snapshots=None, max_steps=100, safety=0.9,
+                pcoeff=0.4, icoeff=1.0):
+    """Adaptive-step N-body: Tsit5 embedded pair + PI step-size control.
+
+    TPU-native replacement for the reference's diffrax path
+    (`montecosmo/nbody.py:1126-1153`, Tsit5 + PIDController(0.4, 1, 0)):
+    a fixed-length `lax.scan` whose iterations accept/reject via masking
+    (static shapes, reverse-differentiable through `jax.checkpoint`), with
+    FSAL reuse (stage 7 of an accepted step is stage 1 of the next, so each
+    step costs 6 force evaluations).  Like the reference this is a
+    validation integrator — production runs use `nbody_bf`.
+
+    snapshots: None -> final state only; int n -> n states at
+    linspace(a0, a1, n); list -> states at those scale factors.  Snapshot
+    edges are integrated as chained segments sharing the controller state.
+    Returns a pytree (pos, vel) with a leading snapshot axis.
+    """
+    mesh_shape = ch2rshape(init_mesh.shape)
+    dpos, vel = lpt_fpm(bg, init_mesh, pos=pos, a=a0, lpt_order=1,
+                        read_order=paint_order, grad_fd=grad_fd, lap_fd=lap_fd)
+    pos = pos + dpos
+    if a0 == a1:
+        return tree_util.tree_map(lambda x: x[None], (pos, vel))
+
+    cosmo = bg.cosmo
+    order = 5.0  # min(solver, embedded) + 1 — controller exponent base
+
+    def vf(state, a):
+        pos, vel = state
+        E = jnp.sqrt(Esqr(cosmo, a))
+        forces = pm_forces(pos, tuple(mesh_shape), paint_order,
+                           grad_fd=grad_fd, lap_fd=lap_fd) * 1.5 * cosmo.Omega_m
+        return (vel / (a**3 * E), forces / (a**2 * E))
+
+    def axpy(y, ks, coefs, dt):
+        """y + dt * sum(c_i k_i) over the state pytree."""
+        return tree_util.tree_map(
+            lambda yl, *kl: yl + dt * sum(c * k for c, k in zip(coefs, kl)),
+            y, *ks)
+
+    def err_norm(y0, y1, ks, dt):
+        """RMS of the embedded error scaled by atol + rtol*max(|y0|,|y1|)."""
+        sq_sum = 0.0
+        count = 0
+        for leaf0, leaf1, *kl in zip(tree_util.tree_leaves(y0),
+                                     tree_util.tree_leaves(y1),
+                                     *[tree_util.tree_leaves(k) for k in ks]):
+            e = dt * sum(c * k for c, k in zip(_TS_BTILDE, kl))
+            scale = tol + tol * jnp.maximum(jnp.abs(leaf0), jnp.abs(leaf1))
+            sq_sum += jnp.sum((e / scale) ** 2)
+            count += leaf0.size
+        return jnp.sqrt(sq_sum / count)
+
+    def segment(y, a_lo, a_hi, dt, err_prev, k1, n_acc, n_rej):
+        """Adaptively integrate one [a_lo, a_hi] snapshot segment."""
+        span = a_hi - a_lo
+
+        def step(carry, _):
+            y, a, dt, err_prev, k1, n_acc, n_rej = carry
+
+            def do_step(y, a, dt, err_prev, k1, n_acc, n_rej):
+                dt_eff = jnp.minimum(dt, a_hi - a)  # clip the last step
+                ks = [k1]
+                for ci, ai in zip(_TS_C, _TS_A):
+                    ks.append(vf(axpy(y, ks, ai, dt_eff), a + ci * dt_eff))
+                y1 = axpy(y, ks, _TS_B[:6], dt_eff)  # b7 = 0
+                k7 = vf(y1, a + dt_eff)
+                err = err_norm(y, y1, ks + [k7], dt_eff)
+                err = jnp.where(jnp.isfinite(err), err, 2.0)  # reject NaN steps
+
+                accept = err <= 1.0
+                # PI controller (reference: PIDController(0.4, 1, 0))
+                e_n = jnp.maximum(err, 1e-10)
+                factor = safety * e_n ** (-(icoeff + pcoeff) / order) \
+                    * jnp.maximum(err_prev, 1e-10) ** (pcoeff / order)
+                dt_next = dt * jnp.clip(factor, 0.2, 10.0)
+
+                y = tree_util.tree_map(
+                    lambda old, new: jnp.where(accept, new, old), y, y1)
+                k1 = tree_util.tree_map(
+                    lambda old, new: jnp.where(accept, new, old), k1, k7)
+                a = jnp.where(accept, a + dt_eff, a)
+                err_prev = jnp.where(accept, e_n, err_prev)
+                return (y, a, dt_next, err_prev, k1,
+                        n_acc + accept, n_rej + (1 - accept))
+
+            done = a >= a_hi - 1e-7 * span
+            carry = lax.cond(
+                done,
+                lambda *s: s,
+                do_step,
+                y, a, dt, err_prev, k1, n_acc, n_rej)
+            return carry, None
+
+        carry = (y, jnp.asarray(a_lo, jnp.float32), dt, err_prev, k1,
+                 n_acc, n_rej)
+        carry, _ = lax.scan(jax_checkpoint(step), carry, None,
+                            length=max_steps)
+        y, a, dt, err_prev, k1, n_acc, n_rej = carry
+        return y, dt, err_prev, k1, n_acc, n_rej
+
+    if snapshots is None or (isinstance(snapshots, int) and snapshots < 2):
+        ts = np.asarray([a1], float)  # SaveAt(t1=True) semantics
+    elif isinstance(snapshots, int):
+        ts = np.linspace(a0, a1, snapshots)
+    else:
+        ts = np.asarray(snapshots, float)
+
+    y = (pos, vel)
+    k1 = vf(y, jnp.asarray(a0, jnp.float32))
+    dt = jnp.asarray((a1 - a0) / 20.0, jnp.float32)
+    err_prev = jnp.asarray(1.0, jnp.float32)
+    n_acc = n_rej = jnp.asarray(0, jnp.int32)
+
+    saves, a_cur = [], float(a0)
+    for t in ts:  # chained segments, shared controller state
+        if t > a_cur:
+            y, dt, err_prev, k1, n_acc, n_rej = segment(
+                y, a_cur, float(t), dt, err_prev, k1, n_acc, n_rej)
+            a_cur = float(t)
+        saves.append(y)
+
+    return tree_util.tree_map(lambda *xs: jnp.stack(xs), *saves)

@@ -100,6 +100,31 @@ def main():
     print(f"   transfer within {np.abs(t[sel] - 1).max():.4f} of 1, "
           f"coherence min {c[sel].min():.5f}")
 
+    # 4. adaptive Tsit5 (validation integrator) vs production BullFrog:
+    # ops-level, same linear mesh, painted to matter density at a_obs
+    from jax import numpy as jnp, random as jr
+    from montecosmo_tpu.models.bricks import regular_pos, white2lin, white_noise
+    from montecosmo_tpu.ops.background import Background
+    from montecosmo_tpu.ops.paint import paint
+    from montecosmo_tpu.ops.pm import nbody_bf, nbody_tsit5
+
+    @jax.jit
+    def matter_pair(key):
+        shape, a_obs = 3 * (final,), 0.5
+        bg = Background.create(m.cosmo_fid)
+        lin = white2lin(m.cosmo_fid, white_noise(key, shape, box), shape, box)
+        pos0 = regular_pos(shape)
+        pos_bf, _ = nbody_bf(bg, lin, pos0, a1=a_obs, n_steps=10)
+        pos_ad, _ = nbody_tsit5(bg, lin, pos0, 0.05, a_obs, tol=1e-3)
+        return (paint(pos_bf[-1], shape, order=2),
+                paint(pos_ad[-1], shape, order=2))
+
+    d_bf, d_ad = matter_pair(jr.key(7))
+    k, t, c = ptc(np.asarray(d_ad), np.asarray(d_bf), box)
+    print("4. Tsit5(tol=1e-3, adaptive) vs BullFrog(10) matter:")
+    print(f"   transfer range [{t[sel].min():.4f}, {t[sel].max():.4f}], "
+          f"coherence min {c[sel].min():.5f}")
+
     # f64 child process (clean x64 config)
     r = subprocess.run([sys.executable, __file__, "--final", str(final),
                         "--platform", args.platform, "--f64-child"],
