@@ -55,10 +55,15 @@ def _waves(mesh_shape, box_size, kedges, include_corners, los):
 
 
 def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
-              ells=0, kedges=None, include_corners=True, deconv=(0, 0)):
-    """Auto/cross multipole power spectrum of 3D fields."""
-    box_center = np.asarray(box_center)
-    los = safe_div(box_center, np.linalg.norm(box_center))
+              ells=0, kedges=None, include_corners=True, deconv=(0, 0),
+              los=None):
+    """Auto/cross multipole power spectrum of 3D fields.
+
+    `los` overrides the box-center-derived line of sight (useful when the
+    mesh axes live in a rotated box frame)."""
+    if los is None:
+        box_center = np.asarray(box_center)
+        los = safe_div(box_center, np.linalg.norm(box_center))
     if isinstance(deconv, int):
         deconv = (deconv, deconv)
 
@@ -111,10 +116,10 @@ def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
 
 
 def spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
-             ells=0, kedges=None, include_corners=True):
+             ells=0, kedges=None, include_corners=True, los=None):
     """Multipole auto/cross power spectrum: (k_mean, P_ell)."""
     _, kmean, pows = _spectrum(mesh0, mesh1, box_size, box_center, ells,
-                               kedges, include_corners)
+                               kedges, include_corners, los=los)
     return kmean, pows
 
 

@@ -668,3 +668,61 @@ class CubGaussian(Distribution):
         return jnp.broadcast_to(
             self.scale1**2 + 2 * self.scale2**2 + 6 * self.scale3**2
             + 6 * self.scale1 * self.scale3, self.batch_shape)
+
+
+# ======================================================================= block MVN
+class BlockMultivariateNormal(Distribution):
+    """Gaussian over D jointly-correlated components per independent block.
+
+    Parametrized by `loc` of shape (..., D, B) and per-block lower Cholesky
+    factors `scale_tril` of shape (B, D, D): block b couples the D components
+    loc[..., :, b].  The layout matches stacked multipole spectra — D poles
+    (leading) by B wavenumber bins — where the per-k-bin multipole covariance
+    is dense in ell but diagonal across k (Grieb et al. 2016 Gaussian
+    covariance).  `log_prob` returns per-element terms (like `Normal`) whose
+    sum over the trailing (D, B) axes is the joint block-MVN log-density:
+    with z = L^-1 (x - loc), element (i, b) contributes
+    -z_ib^2/2 - log L_b[i, i] - log(2 pi)/2.
+
+    Used by `FieldLevelModel.likelihood` for observable='powspec' (the
+    reference leaves this observable as a TODO, model.py:60).
+    """
+
+    def __init__(self, loc, scale_tril):
+        self.loc = loc
+        self.scale_tril = scale_tril
+
+    @property
+    def batch_shape(self):
+        D, B = self.scale_tril.shape[-2], self.scale_tril.shape[-3]
+        return jnp.broadcast_shapes(jnp.shape(self.loc), (D, B))
+
+    def _solve(self, dev):
+        """L^-1 dev per block: dev (..., D, B) -> z (..., D, B)."""
+        from jax.scipy.linalg import solve_triangular
+        dev_b = jnp.moveaxis(dev, -1, -2)[..., None]       # (..., B, D, 1)
+        z = solve_triangular(self.scale_tril, dev_b, lower=True)
+        return jnp.moveaxis(z[..., 0], -1, -2)             # (..., D, B)
+
+    def sample(self, key, sample_shape=()):
+        eps = jr.normal(key, sample_shape + self.batch_shape)  # (..., D, B)
+        corr = jnp.einsum("bij,...jb->...ib", self.scale_tril, eps)
+        return self.loc + corr
+
+    def log_prob(self, value):
+        z = self._solve(value - self.loc)
+        logdiag = jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))
+        return -0.5 * z**2 - logdiag.T - 0.5 * jnp.log(2 * jnp.pi)
+
+    def log_cdf(self, value):
+        """Componentwise cdf of the whitened residuals (diagnostic use)."""
+        return norm.logcdf(self._solve(value - self.loc))
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def variance(self):
+        var = jnp.sum(self.scale_tril**2, axis=-1)          # (B, D)
+        return jnp.broadcast_to(var.T, self.batch_shape)

@@ -37,8 +37,8 @@ from montecosmo_tpu.models.bricks import (
     set_radial_count, sobol_pos, top_hat_selection, ap_auto, ap_param,
 )
 from montecosmo_tpu.models.distributions import (
-    DetruncTruncNorm, DetruncUnif, Normal, Poisson, QuadGaussian, SinhArcsinh,
-    TwoQuadGaussian,
+    BlockMultivariateNormal, DetruncTruncNorm, DetruncUnif, Normal, Poisson,
+    QuadGaussian, SinhArcsinh, TwoQuadGaussian,
 )
 from montecosmo_tpu.ops.background import Background, Cosmology, get_cosmology
 from montecosmo_tpu.ops.fourier import rfftk, top_hat, irfftn, rfftn
@@ -79,8 +79,9 @@ default_config = {
     "paint_method": "auto",              # auto | window | scatter
     "max_disp": 8,                       # paint_window bound (paint cells)
     # Observable
-    "observable": "field",
+    "observable": "field",               # field | powspec
     "poles": (0, 2, 4),
+    "powspec_kedges": None,              # powspec k-bin edges / width / count
     "a_obs": None,                       # None -> light-cone
     "curved_sky": True,
     "ap_auto": None,                     # None: no AP; True: auto; False: parametric
@@ -370,6 +371,7 @@ class FieldLevelModel(Model):
     # Latents
     precond: str
     latents: dict
+    powspec_kedges: object = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -513,6 +515,13 @@ class FieldLevelModel(Model):
         self.los_fid = np.asarray(self.box_rot.apply(jnp.asarray(los), inverse=True))
         self.selec_fid = float(np.mean(np.asarray(self.selec_mesh)**2)**0.5
                                / np.mean(np.asarray(self.selec_mesh)))
+
+        # powspec static artefacts (binning + multipole covariance Cholesky)
+        # must be built EAGERLY: inside a jit trace every jnp op is staged,
+        # so the host-side numpy precompute cannot run there
+        self._powspec_cache = None
+        if self.observable == "powspec":
+            self._powspec_static()
 
     def __str__(self):
         out = "# CONFIG\n" + pformat({k: v for k, v in asdict(self).items()
@@ -732,6 +741,8 @@ class FieldLevelModel(Model):
         """Observe the galaxy count mesh under the configured noise model."""
         gxy_mesh, phi, stoch, syst = params
 
+        if self.observable == "powspec":
+            return self._likelihood_powspec(gxy_mesh, stoch, syst, temp)
         if self.observable != "field":
             raise NotImplementedError(f"observable={self.observable}")
 
@@ -802,6 +813,139 @@ class FieldLevelModel(Model):
             raise ValueError(f"Unknown likelihood type: {self.lik_type}")
 
         return count_mesh
+
+    # ------------------------------------------------------------------ powspec observable
+    def _powspec_estimate(self, delta):
+        """Stacked multipole spectra of a density-contrast cube: (n_ell, n_k).
+
+        Traceable: static binning (numpy digitize of the static |k| mesh) +
+        jnp.bincount reductions, as in `metrics._spectrum`."""
+        from montecosmo_tpu.metrics import _spectrum
+
+        _, _, pows = _spectrum(delta, box_size=self.box_size,
+                               ells=tuple(self.poles),
+                               kedges=self._powspec_static()["kedges"],
+                               include_corners=False, los=self.los_fid)
+        return jnp.stack([pows[int(l)] for l in self.poles])
+
+    def _powspec_static(self):
+        """Static powspec artefacts, computed once on host (numpy):
+
+        * `kedges` / `kmean` — the k binning (below the mesh Nyquist),
+        * `tril` — (n_k, n_ell, n_ell) Cholesky factors of the analytic
+          Gaussian multipole covariance, evaluated EXACTLY on the discrete
+          rfft mode grid (rather than the thin-shell continuum integral):
+            C_l1l2(bin) = (2 l1 + 1)(2 l2 + 1) / N_k^2
+                          sum_modes 2 w L_l1(mu) L_l2(mu) (P_fid(k, mu) + shot)^2
+          with P_fid the fiducial Kaiser spectrum and shot = s_e^2 / nbar.
+
+        Parity: the reference leaves observable='powspec' and its Grieb+2016
+        covariance as a TODO (reference model.py:60); this implements it.
+        """
+        cache = getattr(self, "_powspec_cache", None)
+        if cache is not None:
+            return cache
+        from montecosmo_tpu.metrics import _waves, legendre
+        from montecosmo_tpu.ops.power import lin_power
+        from montecosmo_tpu.utils.io import to_np
+
+        if float(np.linalg.norm(self.los_fid)) == 0 and any(
+                int(l) > 0 for l in self.poles):
+            import warnings
+            warnings.warn("observable='powspec' with ell>0 needs a fixed "
+                          "line of sight (off-center box): los_fid is zero, "
+                          "higher multipoles are estimated with mu=0.")
+
+        kedges, kmesh, mumesh, rfftw = _waves(
+            tuple(self.final_shape), self.box_size, self.powspec_kedges,
+            False, self.los_fid)
+        kmesh, mumesh = to_np(kmesh), to_np(mumesh)
+
+        # fiducial anisotropic galaxy power per mode (jit: one tunnel call
+        # on the remote-TPU runtime instead of per-op eager dispatch)
+        ks, pows = jax.jit(lambda: lin_power(
+            self.cosmo_fid, a=self.a_fid, kpow=self.lin_kpow, bg=self.bg_fid))()
+        pk = np.interp(kmesh, to_np(ks), to_np(pows), left=0.0, right=0.0)
+        f_fid = float(self.bg_fid.a2f(jnp.asarray(self.a_fid)))
+        b1E = float(b1_L2E(np.mean(self.fiduc["b1"])))
+        nbar = float(np.mean(self.fiduc["ngbars"]))
+        shot = float(np.mean(self.fiduc["s_e"])) ** 2 / nbar
+        ptot = (b1E + f_fid * mumesh**2) ** 2 * pk + shot
+
+        n_bins = len(kedges) + 1
+        dig = np.digitize(kmesh.reshape(-1), kedges)
+        wflat = rfftw.reshape(-1)
+        nk = np.bincount(dig, weights=wflat, minlength=n_bins)[1:-1]
+        nk = np.maximum(nk, 1.0)
+        kmean = np.bincount(dig, weights=(kmesh * rfftw).reshape(-1),
+                            minlength=n_bins)[1:-1] / nk
+
+        poles = [int(l) for l in self.poles]
+        legs = [legendre(l)(mumesh).reshape(-1) for l in poles]
+        var = 2.0 * wflat * ptot.reshape(-1) ** 2
+        D, B = len(poles), len(kedges) - 1
+        cov = np.empty((B, D, D))
+        for i, li in enumerate(poles):
+            for j, lj in enumerate(poles[: i + 1]):
+                cij = np.bincount(dig, weights=legs[i] * legs[j] * var,
+                                  minlength=n_bins)[1:-1]
+                cij *= (2 * li + 1) * (2 * lj + 1) / nk**2
+                cov[:, i, j] = cov[:, j, i] = cij
+        # physical units (modes carry cell-unit power in the estimator; the
+        # covariance is built directly in physical units via P_fid, nothing
+        # to rescale) — ridge-regularize near-singular low-k blocks
+        tr = np.trace(cov, axis1=-2, axis2=-1) / D
+        cov += (1e-6 * tr[:, None, None] + 1e-30) * np.eye(D)
+        tril = np.linalg.cholesky(cov)
+
+        self._powspec_cache = {"kedges": np.asarray(kedges),
+                               "kmean": np.asarray(kmean),
+                               "tril": np.asarray(tril, np.float32)}
+        return self._powspec_cache
+
+    def _likelihood_powspec(self, gxy_mesh, stoch, syst, temp=1.0):
+        """Gaussian multipole-spectrum likelihood with analytic per-k-bin
+        multipole covariance (see `_powspec_static`)."""
+        rcounts = syst["ngbars"] * self.cell_length**3
+        nbar_cell = jnp.mean(rcounts)
+
+        count_mesh = irfftn(chreshape(rfftn(gxy_mesh * self.selec_mesh),
+                                      r2chshape(self.final_shape)))
+        count_mesh = set_radial_count(count_mesh, self.radius_mesh(),
+                                      self.redges, rcounts)
+        delta = count_mesh / nbar_cell - 1.0
+        pred = self._powspec_estimate(delta)
+
+        # stochasticity enters as the (scaled) shot-noise monopole
+        nbar = nbar_cell / self.cell_length**3
+        shot = stoch["s_e"] ** 2 / nbar
+        e0 = jnp.asarray([float(int(l) == 0) for l in self.poles])
+        mean = pred + shot * e0[:, None]
+
+        tril = jnp.asarray(self._powspec_static()["tril"]) * temp**0.5
+        return ppl.sample("powspec", BlockMultivariateNormal(mean, tril))
+
+    def powspec_obs(self, count_mesh=None):
+        """Measure the observed multipoles from a registered count mesh with
+        the SAME estimator as the likelihood (shape (n_ell, n_k))."""
+        count_mesh = self.count_mesh if count_mesh is None else count_mesh
+        if self.mask_mesh is not None and jnp.ndim(count_mesh) == 1:
+            count_mesh = masked2mesh(count_mesh, self.mask_mesh)
+        nbar_cell = float(np.mean(self.fiduc["ngbars"])) * self.cell_length**3
+        # complex eager ops are UNIMPLEMENTED on the axon runtime: jit
+        return jax.jit(lambda c: self._powspec_estimate(c / nbar_cell - 1.0))(
+            jnp.asarray(count_mesh))
+
+    def obs_data(self):
+        """{site: value} to condition the model on its registered data.
+
+        For observable='powspec' a directly-assigned `powspec_data` (e.g. a
+        self-predicted draw) takes precedence over re-measuring the
+        registered count mesh."""
+        if self.observable == "powspec":
+            data = getattr(self, "powspec_data", None)
+            return {"powspec": data if data is not None else self.powspec_obs()}
+        return {"count_mesh": self.count_mesh}
 
     # ------------------------------------------------------------------ reparam
     def reparam(self, params: dict, fourier=True, inv=False, temp=1.0):

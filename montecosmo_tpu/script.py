@@ -232,7 +232,7 @@ def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
     conf_path = chains_dir / "field_warm_conf.h5"
 
     model.reset()
-    model.substitute(model.fiduc | {"count_mesh": model.count_mesh}, from_base=True)
+    model.substitute(model.fiduc | model.obs_data(), from_base=True)
     model.block()
 
     params_start = jit(vmap(partial(model.kaiser_post, scale_field=scale_field)))(
@@ -314,7 +314,7 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
     conf_path = chains_dir / "full_warm_conf.h5"
 
     model.reset()
-    model.substitute(obs | {"count_mesh": model.count_mesh}, from_base=True)
+    model.substitute(obs | model.obs_data(), from_base=True)
     model.block()
 
     if not state_path.exists() or overwrite:
@@ -532,7 +532,9 @@ def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix="")
     except Exception as e:
         print(f"WARNING: triangle plot skipped ({type(e).__name__}: {e})")
 
-    if infer_init:
+    # the IC-recovery panel needs an observed count MESH; a powspec-observed
+    # campaign has no field-level observation to compare against
+    if infer_init and "count_mesh" in obs:
         mesh_obs = jnp.fft.rfftn(model.count2delta(obs["count_mesh"]))
         mesh_obs = jnp.fft.irfftn(chreshape(mesh_obs, r2chshape(model.init_shape)))
         kptc_obs = model.powtranscoh(white_mesh, mesh_obs)

@@ -28,7 +28,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
           n_chains=4, tune_mass=True, n_steps_field=2**12, dev_field=1e-5,
           n_steps_full=2**13, dev_full=1e-7, n_samples=None, n_runs=8,
           thinning=64, scale_fid_fac=1.0, save_root="results",
-          sampler="mclmc"):
+          sampler="mclmc", observable="field"):
     import jax
     from jax import config as jconfig, devices as jdevices, numpy as jnp
 
@@ -56,6 +56,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
 
     model = FieldLevelModel(**default_config | {
         "evolution": evolution, "lik_type": lik_type, "png_type": png_type,
+        "observable": observable,
         "register": str(register), "latents": latents, "n_rbins": 1})
 
     # -------------------------------------------------- save dir + provenance
@@ -63,6 +64,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     tag = Path(register).stem.replace("register_", "")
     folder = (f"{tag}_{evolution}_{mesh_length}_fNL{fnl:.0f}"
               + (f"_{sampler}" if sampler != "mclmc" else "")
+              + (f"_{observable}" if observable != "field" else "")
               + ("_fourier" if lik_type == "fourier_gauss" else "")
               + ("_self" if self_data else "") + (f"_{expe}" if expe else ""))
     save_dir = Path(save_root) / folder
@@ -88,12 +90,16 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
 
     print(model)
 
+    obs_site = "powspec" if model.observable == "powspec" else "count_mesh"
     if self_data:
         print("\nSelf-predicting synthetic data from the fiducial loc...")
         pred = model.predict(
             samples=model.fiduc | {"white_mesh": model.white_mesh},
             hide_base=False, hide_samp=False, from_base=True)
-        model.count_mesh = pred["count_mesh"]
+        if obs_site == "powspec":
+            model.powspec_data = pred["powspec"]
+        else:
+            model.count_mesh = pred["count_mesh"]
         del pred
 
     model.save(save_dir / "model.yaml")
@@ -101,8 +107,8 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     # the remote compile service intermittently returns a transient
     # UNIMPLEMENTED for valid programs (observed twice on identical HLO that
     # compiled fine on retry)
-    _fid = model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh),
-                          "count_mesh": jnp.asarray(model.count_mesh)}
+    _fid = model.fiduc | {"white_mesh": jnp.asarray(model.white_mesh)} \
+        | model.obs_data()
     # BEST-EFFORT sanity assert: the axon compile service rejects follow-up
     # compiles after the big predict program with spurious UNIMPLEMENTED
     # (identical HLO compiles in a fresh process), so a failed compile here
@@ -121,9 +127,8 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
               f"{str(_e)[:80]}\n")
 
     # -------------------------------------------------- inference
-    params = model.fiduc | {"white_mesh": model.white_mesh,
-                            "count_mesh": model.count_mesh}
-    obs = {k: params[k] for k in obs_names}
+    params = model.fiduc | {"white_mesh": model.white_mesh} | model.obs_data()
+    obs = {k: params[k] for k in obs_names if k in params}
     h5save(save_dir / "obs.h5", obs)
     print(f"Inferring: {sorted(set(params) - set(obs))}")
     if n_samples is None:
@@ -154,7 +159,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
 
 
 DEFAULT_OBS = [
-    "count_mesh", "alpha_iso", "alpha_ap", "Omega_m", "sigma8",
+    "count_mesh", "powspec", "alpha_iso", "alpha_ap", "Omega_m", "sigma8",
     "b3", "bds2", "bs3", "bn2", "bnpar",
     "fNL_bpd2", "fNL_bps2", "fNL_bn2p", "s_e", "s_ed", "s_e2", "s_ep",
 ]
@@ -180,6 +185,8 @@ def main():
     ap.add_argument("--n-samples", type=int, default=None)
     ap.add_argument("--n-runs", type=int, default=8)
     ap.add_argument("--thinning", type=int, default=64)
+    ap.add_argument("--observable", default="field",
+                    choices=["field", "powspec"])
     ap.add_argument("--sampler", default="mclmc",
                     choices=["mclmc", "mams", "nuts"],
                     help="phase-2/3 sampler (phase 1 stays MCLMC)")
@@ -219,7 +226,8 @@ def main():
           tune_mass=not args.no_tune_mass, n_steps_field=args.n_steps_field,
           n_steps_full=args.n_steps_full, n_samples=args.n_samples,
           n_runs=args.n_runs, thinning=args.thinning,
-          save_root=args.save_root, sampler=args.sampler)
+          save_root=args.save_root, sampler=args.sampler,
+          observable=args.observable)
 
 
 if __name__ == "__main__":
