@@ -69,10 +69,22 @@ def paint(pos, shape: tuple, weights=1.0, order: int = 2,
         # pure window path: the XLA scatter is slow in BOTH directions on the
         # TPU (the early 'fast forward scatter' readings were async-dispatch
         # artifacts of the axon runtime -- see BENCH_NOTES.md); matmuls win
+        import os
+        w = jnp.reshape(weights, (-1,)) if jnp.ndim(weights) else weights
+        if (os.environ.get("MONTECOSMO_PAINT_BACKEND") == "pallas"
+                and kernel_type == "rectangular"):
+            # opt-in Pallas VMEM-one-hot kernel (same contract); resolved at
+            # trace time so the benchmark can flip backends per process
+            import jax as _jax
+            from montecosmo_tpu.ops.paint_window_pallas import (
+                paint_window_pallas)
+            return paint_window_pallas(
+                pos.reshape(-1, len(shape)), shape, lattice_shape, w, order,
+                kernel_type, oversamp, max_disp=max_disp, clip=clip,
+                interpret=_jax.default_backend() == "cpu")
         from montecosmo_tpu.ops.paint_window import paint_window
         return paint_window(pos.reshape(-1, len(shape)), shape, lattice_shape,
-                            jnp.reshape(weights, (-1,)) if jnp.ndim(weights)
-                            else weights, order, kernel_type, oversamp,
+                            w, order, kernel_type, oversamp,
                             max_disp=max_disp, clip=clip)
     kernel = _window_fn(order, kernel_type, oversamp)
     round_fn = jnp.round if order % 2 else jnp.floor
