@@ -88,7 +88,9 @@ def paint_window_pallas(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
                         order: int = 2, kernel_type="rectangular",
                         oversamp=1.0, max_disp=5, group=(8, 8, None),
                         wx_chunk=6, clip=True,
-                        precision=lax.Precision.HIGH, interpret=False):
+                        precision=lax.Precision.HIGHEST, interpret=False):
+    # NOTE: Mosaic rejects Precision.HIGH ("Unsupported dot precision");
+    # HIGHEST lowers to native f32 MXU passes inside the kernel.
     """Drop-in for `paint_window` on the Pallas kernel (rectangular kernels).
 
     Falls back to the XLA window path for kaiser_bessel.

@@ -119,14 +119,24 @@ def _is_turning(r_left, r_right, r_sum, invmm):
 
 
 def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
-                max_num_doublings=10, divergence_threshold=1000.0):
+                max_num_doublings=None, divergence_threshold=1000.0):
     """Dynamic NUTS transition (iterative, multinomial, biased progressive).
 
     Sub-tree U-turn checks use the checkpoint scheme: while integrating leaf i
     of a subtree, the left-edge momenta of the perfect subtrees ending at i
     live in slots [popcount(i+1)-1, popcount(i)-1] of a max_depth-sized
     buffer, written at even leaves into slot popcount(leaf).
+
+    max_num_doublings defaults to $MONTECOSMO_NUTS_MAX_DOUBLINGS (else 10).
+    On the axon TPU runtime device programs are KILLED beyond ~30-60 s, and
+    one NUTS step with 2^10 costly gradient evals can exceed that (warmup
+    starts at step_size 1e-3, hitting max depth every step); expensive-model
+    campaigns cap the trajectory instead (run/infer.py sets this env).
     """
+    if max_num_doublings is None:
+        import os
+        max_num_doublings = int(
+            os.environ.get("MONTECOSMO_NUTS_MAX_DOUBLINGS", "10"))
     max_depth = max_num_doublings
 
     def kernel(rng_key, state: HMCState):
