@@ -101,3 +101,22 @@ def test_predict_under_context():
     np.testing.assert_allclose(np.asarray(val["gxy_mesh"]),
                                np.asarray(ref["gxy_mesh"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_powspec_observable_parity():
+    """The powspec likelihood (bincount multipole estimator + block-MVN)
+    also runs decomposed under the mesh context."""
+    model = make(evolution="lpt", a_obs=0.5, curved_sky=False,
+                 box_center=(0.0, 0.0, 1500.0), lik_type="quad_gauss",
+                 precond="kaiser", observable="powspec", poles=(0, 2))
+    params = model.reparam(dict(model.fiduc), inv=True)
+    params["white_mesh_"] = jr.normal(jr.key(5), model.init_shape)
+    pred = model.predict(seed=6, samples=params, hide_base=False,
+                         hide_det=False, hide_samp=False)
+    params["powspec"] = pred["powspec"]
+
+    ref = float(jax.jit(model.logpdf)(params))
+    assert np.isfinite(ref)
+    with mesh_context(spatial_mesh()):
+        val = float(jax.jit(model.logpdf)(params))
+    np.testing.assert_allclose(val, ref, rtol=2e-4, atol=5e-3 + 2e-6 * abs(ref))
