@@ -57,13 +57,34 @@ def build(final=128, paint_method="auto"):
     if obs_cache.exists():
         count_mesh = np.load(obs_cache)
     else:
-        pred = _retry(lambda: model.predict(seed=1, samples=params,
-                                            hide_base=False, hide_det=False,
-                                            hide_samp=False), tag="predict")
+        if final >= 192:
+            # the LPT predict at 256^3+ is a giant single program that the
+            # remote compile service reliably drops mid-upload; the benchmark
+            # only needs a REALISTIC observation, not the LPT one, so draw it
+            # from a kaiser-evolution twin (same box/likelihood, tiny compile)
+            # — the timed eval_step program below is unaffected
+            obs_model = FieldLevelModel(**{**conf, "evolution": "kaiser"})
+            obs_params = obs_model.reparam(dict(obs_model.fiduc), inv=True)
+            obs_params["white_mesh_"] = params["white_mesh_"]
+            pred = _retry(lambda: obs_model.predict(
+                seed=1, samples=obs_params, hide_base=False, hide_det=False,
+                hide_samp=False), tag="predict(kaiser obs)")
+        else:
+            pred = _retry(lambda: model.predict(seed=1, samples=params,
+                                                hide_base=False, hide_det=False,
+                                                hide_samp=False), tag="predict")
         count_mesh = np.asarray(pred["count_mesh"])
         obs_cache.parent.mkdir(parents=True, exist_ok=True)
         np.save(obs_cache, count_mesh)
     obs = {"count_mesh": count_mesh}
+
+    import os
+    staged = os.environ.get("MONTECOSMO_STAGED_EVAL")
+    if (staged is None and final >= 192) or staged == "1":
+        # 4 smaller stage programs instead of one monolithic
+        # primal+tangent+transpose compile the remote service drops
+        vag = model.value_and_grad_staged()
+        return (lambda p: vag({**p, **obs})), params
 
     def eval_step(p):
         return jax.value_and_grad(lambda q: model.logpdf({**q, **obs}))(p)

@@ -246,6 +246,55 @@ class Model:
     def force(self, params={}):
         return grad(self.logpdf)(params)
 
+    def value_and_grad_staged(self, jit=True):
+        """logpdf value+grad as SEPARATELY-jitted stage programs.
+
+        The monolithic `jit(value_and_grad(logpdf))` at 256^3+ meshes is one
+        giant primal+tangent+transpose program that the remote TPU compile
+        service drops (broken tunnel after ~25 min, reproducibly); splitting
+        at the evolve/likelihood seam yields 4 programs (two forward+jvp, two
+        transposes) each a fraction of the size, composed eagerly through
+        hand-chained VJPs.  Exactness: stage1 sums the log-probs of every
+        latent site (prior), stage2 the observed-site log-prob — identical
+        decomposition to `logpdf`'s single trace.
+        """
+        import jax as _jax
+
+        def stage_lp(handler):
+            lp = 0.0
+            for site in handler._trace.values():
+                if site["type"] == "sample":
+                    lp += jnp.sum(site["fn"].log_prob(site["value"]))
+            return lp
+
+        def s1(params):
+            h = ppl.trace(ppl.substitute(
+                ppl.seed(lambda: self.evolve(self.prior()), rng_seed=0),
+                data=params))
+            evolved = h()
+            return evolved, stage_lp(h)
+
+        def s2(evolved, params):
+            h = ppl.trace(ppl.substitute(
+                ppl.seed(lambda: self.likelihood(evolved), rng_seed=0),
+                data=params))
+            h()
+            return stage_lp(h)
+
+        maybe_jit = _jax.jit if jit else (lambda f: f)
+        f1, f2 = maybe_jit(s1), maybe_jit(s2)
+
+        def value_and_grad(params):
+            (evolved, lp1), vjp1 = _jax.vjp(f1, params)
+            lp2, vjp2 = _jax.vjp(f2, evolved, params)
+            one = jnp.ones(())
+            dev, dp2 = vjp2(one)
+            dp1 = vjp1((dev, one))[0]
+            grads = _jax.tree.map(jnp.add, dp1, dp2)
+            return lp1 + lp2, grads
+
+        return value_and_grad
+
     def logdf_mesh(self, params={}, site="count_mesh"):
         """Per-voxel (logpdf, logcdf) of `site` at latents/observables `params`."""
         logpdfs, tr = ppl.compute_log_probs(self.model, (), {}, params,
