@@ -155,3 +155,16 @@ def test_temperature_scaling(model):
     model2.partial(temp_prior=2.0)
     lp = float(model2.logpdf(params))
     assert np.isfinite(lp)
+
+
+def test_value_and_grad_staged_parity(model):
+    """Stage-split value+grad (separately-jitted evolve/likelihood programs
+    with hand-chained VJPs) equals the monolithic jit(value_and_grad)."""
+    params = _fiducial_params(model)
+    ref_v, ref_g = jax.jit(jax.value_and_grad(model.logpdf))(params)
+    v, g = model.value_and_grad_staged()(params)
+    np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-5)
+    for k in ref_g:
+        a, b = np.asarray(ref_g[k]), np.asarray(g[k])
+        s = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / s, a / s, atol=3e-5, err_msg=k)
