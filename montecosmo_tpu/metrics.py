@@ -321,7 +321,7 @@ def var_errorbar(count, var, confidence=0.95, gaussian_approx=False):
 # ----------------------------------------------------------------------- Kaiser multipoles
 def kaiser_formula(bg, a, lin_kpow, b1E, ells=0):
     """Analytic Kaiser multipoles P_ell(k) for Eulerian bias b1E."""
-    ells = jnp.atleast_1d(ells)
+    ells = jnp.atleast_1d(jnp.asarray(ells))
     beta = bg.a2f(a) / b1E
     k, pows = lin_kpow
     pows = pows * bg.a2g(a) ** 2
