@@ -201,3 +201,63 @@ def sci(x, p=0.95, axis=0, weights=None, ord=1):
     out = vmap(per_row)(xs, cdf, wn)            # (batch, P, 2)
     out = jnp.moveaxis(out, 0, -2)              # (P, batch, 2)
     return out.reshape(*p.shape, *batch_shape, 2)
+
+
+# ----------------------------------------------------------------- credible sets
+def scs(x, p=0.95, weights=None, grid_size=64, bandwidth=None):
+    """p-Smallest Credible Set / Highest Density Region in d dimensions.
+
+    Gaussian-product KDE (Scott bandwidth by default) of weighted samples
+    `x` (n, d), d <= 3.  The HDR level follows Hyndman (1996): the weighted
+    (1-p)-quantile of the KDE evaluated AT the samples — the region
+    {y : kde(y) >= level} then carries probability mass ~p.
+
+    Returns (axes, density_mesh, level): per-dimension grid axes, the KDE
+    on the tensor grid (for contour plotting), and the density level.
+
+    The reference DECLARES this function but never implemented it
+    (reference bdec.py:345-356 assigns `kde_mesh = 'foo'`); this is a
+    working implementation, not a port.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, d = x.shape
+    assert d <= 3, "scs supports up to 3 dimensions"
+    if weights is None:
+        w = jnp.full(n, 1.0 / n)
+    else:
+        w = jnp.asarray(weights)
+        w = w / jnp.sum(w)
+    n_eff = 1.0 / jnp.sum(w**2)
+
+    mean = jnp.sum(w[:, None] * x, 0)
+    sig = jnp.sqrt(jnp.sum(w[:, None] * (x - mean) ** 2, 0))
+    if bandwidth is None:
+        bandwidth = sig * n_eff ** (-1.0 / (d + 4))      # Scott's rule
+    bw = jnp.broadcast_to(jnp.asarray(bandwidth), (d,))
+
+    axes = [jnp.linspace(x[:, k].min() - 3 * bw[k],
+                         x[:, k].max() + 3 * bw[k], grid_size)
+            for k in range(d)]
+
+    def kern(grid_k, k):
+        z = (grid_k[:, None] - x[None, :, k]) / bw[k]
+        return jnp.exp(-0.5 * z**2) / (bw[k] * jnp.sqrt(2 * jnp.pi))
+
+    Ks = [kern(axes[k], k) for k in range(d)]            # (g, n) each
+    if d == 1:
+        mesh = Ks[0] @ w
+    elif d == 2:
+        mesh = jnp.einsum("an,bn,n->ab", Ks[0], Ks[1], w)
+    else:
+        mesh = jnp.einsum("an,bn,cn,n->abc", Ks[0], Ks[1], Ks[2], w)
+
+    # KDE at the samples (exact, O(n^2)) for the Hyndman level
+    Zs = [kern(x[:, k], k) for k in range(d)]            # (n, n) each
+    prod = Zs[0]
+    for Z in Zs[1:]:
+        prod = prod * Z
+    f_samp = prod @ w
+    level = quantile(f_samp, jnp.asarray(1.0 - p), weights=w)
+    return axes, mesh, level

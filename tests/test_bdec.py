@@ -70,3 +70,37 @@ def test_cumulative_trapezoid():
     integral = cumulative_trapezoid(ys, xs, initial=0)
     np.testing.assert_allclose(np.asarray(integral), np.asarray(xs) ** 2,
                                atol=1e-4)
+
+
+def test_scs_gaussian_2d():
+    """p-HDR of a standard 2-D normal: mass above the level ~ p, level near
+    the analytic (1-p)/(2 pi)."""
+    from montecosmo_tpu.bdec import scs
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4000, 2)).astype(np.float32))
+    axes, mesh, level = scs(x, p=0.95)
+    dx = float(axes[0][1] - axes[0][0])
+    dy = float(axes[1][1] - axes[1][0])
+    mass = float(jnp.sum(jnp.where(mesh >= level, mesh, 0.0)) * dx * dy)
+    assert 0.90 <= mass <= 0.97, mass
+    exact = (1 - 0.95) / (2 * np.pi)
+    assert 0.6 < float(level) / exact < 1.6  # KDE-bias tolerance
+
+
+def test_scs_weighted_1d():
+    """Weighted 1-D samples: the HDR of a half-weighted bimodal mixture
+    keeps both modes above level."""
+    from montecosmo_tpu.bdec import scs
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(-3.0, 0.5, 2000)
+    b = rng.normal(3.0, 0.5, 2000)
+    x = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    w = jnp.ones(4000)
+    axes, mesh, level = scs(x, p=0.9, weights=w)
+    dens = np.asarray(mesh)
+    grid = np.asarray(axes[0])
+    above = grid[dens >= float(level)]
+    assert (above < 0).any() and (above > 0).any()      # both modes in set
+    assert not ((above > -1.5) & (above < 1.5)).any()   # valley excluded
