@@ -1,6 +1,10 @@
 """ESS/hour report from a campaign directory's chains.
 
-Usage: python run/ess_report.py <save_dir> <campaign_wall_seconds> [--platform cpu]
+Usage: python run/ess_report.py <save_dir> [campaign_wall_seconds] [--platform cpu]
+
+With no wall time given, phase timers are parsed from <save_dir>/run.out:
+sampling ESS/hour uses the summed "[phase] full_run" lines, total-campaign
+ESS/hour the sum of every phase line.
 
 Computes the multivariate/per-parameter effective sample size of the
 cosmological + bias scalars over the saved runs (all chains pooled the
@@ -9,6 +13,10 @@ and divides by the sampling wall time.
 """
 import argparse
 import glob
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -16,9 +24,23 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("save_dir")
-    ap.add_argument("wall_s", type=float)
+    ap.add_argument("wall_s", type=float, nargs="?", default=None)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
+
+    if args.wall_s is None:
+        import re
+        out = open(f"{args.save_dir}/run.out").read()
+        phases = re.findall(r"\[phase\] (\w+): ([0-9.]+)s", out)
+        run_s = sum(float(v) for k, v in phases if k == "full_run")
+        total_s = sum(float(v) for k, v in phases)
+        assert run_s > 0, "no [phase] full_run lines in run.out"
+        print(f"phases: {dict((k, 0) for k, _ in phases).keys()} "
+              f"run={run_s:.0f}s total={total_s:.0f}s")
+        args.wall_s = run_s
+        args.total_s = total_s
+    else:
+        args.total_s = None
 
     import jax
     if args.platform:
@@ -49,6 +71,10 @@ def main():
         print(f"  {k:8s}: ESS {v:8.1f}  -> {v / hours:8.1f} ESS/hour")
     worst = min(report.values())
     print(f"worst-parameter ESS/hour: {worst / hours:.1f}")
+    if args.total_s:
+        th = args.total_s / 3600.0
+        print(f"incl. warmup ({args.total_s:.0f} s): "
+              f"worst-parameter ESS/hour: {worst / th:.1f}")
 
 
 if __name__ == "__main__":
