@@ -181,3 +181,19 @@ def test_segmented_warmup_matches_monolithic(rng):
     np.testing.assert_allclose(np.asarray(seg[1].L),
                                np.asarray(mono[1].L), rtol=0.05)
     assert np.isfinite(np.asarray(seg[0].position["x"])).all()
+
+
+def test_nuts_depth_cap_env(monkeypatch):
+    """MONTECOSMO_NUTS_MAX_DOUBLINGS bounds per-step trajectory length (the
+    axon runtime kills device programs beyond ~30-60 s, so expensive-model
+    campaigns must cap the tree)."""
+    monkeypatch.setenv("MONTECOSMO_NUTS_MAX_DOUBLINGS", "2")
+    state = hmc_init(init_pos(), logdf_gauss)
+    kernel = nuts_kernel(logdf_gauss, step_size=1e-4)  # tiny step: max depth
+    _, info = jax.jit(kernel)(jr.key(0), state)
+    assert int(info["num_integration_steps"]) <= 2**2 * 2
+
+    monkeypatch.delenv("MONTECOSMO_NUTS_MAX_DOUBLINGS")
+    kernel10 = nuts_kernel(logdf_gauss, step_size=1e-4)
+    _, info10 = jax.jit(kernel10)(jr.key(0), state)
+    assert int(info10["num_integration_steps"]) > 2**2 * 2
