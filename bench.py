@@ -31,7 +31,7 @@ def _retry(fn, attempts=3, tag=""):
             time.sleep(5)
 
 
-def build(final=128, paint_method="auto"):
+def build(final=128, paint_method="auto", evolution="lpt"):
     import jax
     from jax import random as jr
 
@@ -40,7 +40,7 @@ def build(final=128, paint_method="auto"):
     conf = dict(default_config)
     conf.update(
         final_shape=3 * (final,), cell_length=500.0 * 2 / final,
-        evolution="lpt", lpt_order=2, a_obs=0.5, curved_sky=False,
+        evolution=evolution, lpt_order=2, a_obs=0.5, curved_sky=False,
         box_center=(0.0, 0.0, 1500.0), lik_type="quad_gauss", precond="kaiser",
         paint_method=paint_method,
     )
@@ -92,7 +92,8 @@ def build(final=128, paint_method="auto"):
     return jax.jit(eval_step), params
 
 
-def main(final=128, n_warmup=2, n_iter=10, paint_method="auto"):
+def main(final=128, n_warmup=2, n_iter=10, paint_method="auto",
+         evolution="lpt"):
     import jax
 
     # persistent compilation cache: big-mesh compiles through the TPU tunnel
@@ -101,7 +102,7 @@ def main(final=128, n_warmup=2, n_iter=10, paint_method="auto"):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    step, params = build(final, paint_method)
+    step, params = build(final, paint_method, evolution)
     # compile + warmup (first call compiles; retry transient tunnel drops)
     for i in range(n_warmup):
         logp, grads = _retry(lambda: jax.block_until_ready(step(params)),
@@ -116,7 +117,9 @@ def main(final=128, n_warmup=2, n_iter=10, paint_method="auto"):
 
     result = {
         "metric": f"PM forward+grad evals/sec at {final}^3 final mesh "
-                  "(2LPT + Lagrangian bias + RSD, quad-Gaussian likelihood, f32)",
+                  + ("(BullFrog 10-step N-body"
+                     if evolution == "nbody" else "(2LPT")
+                  + " + Lagrangian bias + RSD, quad-Gaussian likelihood, f32)",
         "value": round(1.0 / dt, 4),
         "unit": "evals/sec",
         "vs_baseline": None,
@@ -127,4 +130,5 @@ def main(final=128, n_warmup=2, n_iter=10, paint_method="auto"):
 
 if __name__ == "__main__":
     final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto")
+    main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto",
+         evolution=sys.argv[3] if len(sys.argv) > 3 else "lpt")
