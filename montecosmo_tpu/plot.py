@@ -305,5 +305,7 @@ def plot_chains(chains, names=None, batch_ndim=2, grid=True, log=False):
                 if log:
                     ax.set_yscale("log")
                 ax.grid(grid)
-        axs[-1].legend()
+        handles, _ = axs[-1].get_legend_handles_labels()
+        if handles:
+            axs[-1].legend()
     return fig
