@@ -11,3 +11,4 @@ from montecosmo_tpu.samplers.hmc import (
 )
 from montecosmo_tpu.samplers.optimize import optimize
 from montecosmo_tpu.samplers.runner import sample_and_save, save_run
+from montecosmo_tpu.samplers.vi import advi, ApproxPosterior
