@@ -11,9 +11,9 @@ B-splines or Kaiser-Bessel of the reference.
 same wrap), which reverse-mode AD recovers automatically: grad of a painted
 mesh w.r.t. weights is a read, and vice versa.
 
-A Pallas sorted-tile kernel for the same contract lives in
-`montecosmo_tpu.ops.paint_pallas` (used when enabled; this module is the
-portable XLA reference path).
+A Pallas VMEM-one-hot window kernel for the lattice-ordered contract lives
+in `montecosmo_tpu.ops.paint_window_pallas` (opt-in via
+MONTECOSMO_PAINT_BACKEND=pallas); this module is the portable XLA path.
 
 Parity: reference `montecosmo/nbody.py:365-577` (paint/read/interlace/nufft).
 """
