@@ -309,3 +309,49 @@ def plot_chains(chains, names=None, batch_ndim=2, grid=True, log=False):
         if handles:
             axs[-1].legend()
     return fig
+
+
+def plot_powspec_ppc(kmean, obs, tril=None, preds=None, poles=(0, 2, 4),
+                     prob=(0.68, 0.95), axs=None):
+    """Posterior-predictive multipole panel for observable='powspec'.
+
+    kmean : (n_k,) bin centers; obs (n_ell, n_k) observed multipoles;
+    tril  : optional (n_k, n_ell, n_ell) covariance Cholesky — the observed
+            points get +-1 sigma bars from its diagonal contribution;
+    preds : optional (n_samples, n_ell, n_k) posterior-predictive draws —
+            median line + credible bands per multipole.
+    Returns the axes (one per multipole).
+    """
+    kmean = np.asarray(kmean)
+    obs = np.asarray(obs)
+    n_ell = obs.shape[0]
+    if axs is None:
+        _, axs = plt.subplots(1, n_ell, figsize=(4 * n_ell, 3.2),
+                              layout="constrained", squeeze=False)
+        axs = axs[0]
+
+    sig = None
+    if tril is not None:
+        tril = np.asarray(tril)
+        sig = np.sqrt(np.sum(tril**2, axis=-1)).T        # (n_ell, n_k)
+
+    for i, ell in enumerate(poles[:n_ell]):
+        ax = axs[i]
+        if preds is not None:
+            ys = np.asarray(preds)[:, i, :]
+            for p in sorted(prob, reverse=True):
+                lo, hi = np.percentile(ys, [50 - 50 * p, 50 + 50 * p], axis=0)
+                ax.fill_between(kmean, lo, hi, color=SetDark2(0), alpha=0.25)
+            ax.plot(kmean, np.median(ys, 0), color=SetDark2(0), label="post")
+        if sig is not None:
+            ax.errorbar(kmean, obs[i], yerr=sig[i], fmt="k.", capsize=2,
+                        label="obs")
+        else:
+            ax.plot(kmean, obs[i], "k.", label="obs")
+        ax.set_xlabel(r"$k$ [$h$/Mpc]")
+        ax.set_ylabel(rf"$P_{{{int(ell)}}}(k)$")
+        ax.set_xscale("log")
+        if int(ell) == 0:
+            ax.set_yscale("log")
+        ax.legend()
+    return axs
