@@ -24,6 +24,18 @@ def map_chains(fn, n_chains, mesh: Mesh = None, devices=None):
     introduces its own shardings.
     """
     if mesh is None:
+        # an active spatial mesh_context owns the devices: reuse its mesh
+        # (chains sharded over its 'chains' axis if present, else replicated)
+        # instead of claiming a conflicting device subset
+        from montecosmo_tpu.parallel.context import current_mesh_context
+        ctx = current_mesh_context()
+        if ctx is not None:
+            cmesh = ctx[0]
+            if "chains" in cmesh.axis_names:
+                mesh = cmesh
+            else:
+                return lambda *args: jax.jit(vmap(fn))(*args)
+    if mesh is None:
         devices = np.asarray(devices if devices is not None else jax.devices())
         n_dev = int(min(n_chains, devices.size))
         while n_chains % n_dev:

@@ -191,6 +191,10 @@ def main():
                     choices=["mclmc", "mams", "nuts"],
                     help="phase-2/3 sampler (phase 1 stays MCLMC)")
     ap.add_argument("--save-root", default="results")
+    ap.add_argument("--spatial-mesh", type=int, default=0,
+                    help="shard the model spatially over this many devices "
+                         "(parallel.context.mesh_context around the whole "
+                         "campaign); 0 = single-device")
     ap.add_argument("--distributed", action="store_true",
                     help="initialize the multi-process jax.distributed "
                          "runtime (TPU pod topology auto-detected)")
@@ -219,6 +223,25 @@ def main():
         obs_names += ["fNL", "fNL_bp", "fNL_bpd", "fNL_bpd2", "fNL_bps2",
                       "fNL_bn2p"]
 
+    if args.spatial_mesh > 1:
+        import numpy as _np
+        import jax as _jax
+        from jax.sharding import Mesh as _Mesh
+        from montecosmo_tpu.parallel.context import mesh_context as _mc
+        _devs = _np.asarray(_jax.devices()[:args.spatial_mesh])
+        # one combined mesh: a singleton 'chains' axis keeps map_chains on
+        # the SAME device set as the spatial FFT islands (chains replicated,
+        # every device works on each chain's mesh shards)
+        _ctx = _mc(_Mesh(_devs.reshape(1, -1), ("chains", "mesh")))
+    else:
+        from contextlib import nullcontext
+        _ctx = nullcontext()
+
+    with _ctx:
+        run_infer(args, obs_names)
+
+
+def run_infer(args, obs_names):
     infer(args.register, png_type=args.png_type, lik_type=args.lik_type,
           evolution=args.evolution, self_data=args.self_data, fnl=args.fnl,
           expe=args.expe, overwrite=args.overwrite,
