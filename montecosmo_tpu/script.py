@@ -532,6 +532,17 @@ def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix="")
     except Exception as e:
         print(f"WARNING: triangle plot skipped ({type(e).__name__}: {e})")
 
+    if "powspec" in obs:
+        try:
+            from montecosmo_tpu.plot import plot_powspec_ppc
+            st = model._powspec_static()
+            plot_powspec_ppc(st["kmean"], np.asarray(obs["powspec"]),
+                             tril=st["tril"], poles=tuple(model.poles))
+            plt.savefig(save_dir / f"{prefix}powspec.png", dpi=300)
+            plt.close()
+        except Exception as e:
+            print(f"WARNING: powspec panel skipped ({type(e).__name__}: {e})")
+
     # the IC-recovery panel needs an observed count MESH; a powspec-observed
     # campaign has no field-level observation to compare against
     if infer_init and "count_mesh" in obs:
