@@ -92,9 +92,43 @@ def build(final=128, paint_method="auto", evolution="lpt"):
     return jax.jit(eval_step), params
 
 
+def _backend_alive(timeout_s=420):
+    """Probe the backend with a tiny jit under a hard timeout: the axon
+    remote worker can wedge into an UNAVAILABLE state where every device
+    call hangs forever (observed for 6+ h after repeated program kills) —
+    better to emit an explicit failure line than hang the benchmark."""
+    import threading
+
+    done = threading.Event()
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            from jax import numpy as jnp
+            float(jax.jit(lambda a: (a * 2).sum())(jnp.ones((64, 64))))
+            ok.append(True)
+        except Exception:
+            pass
+        finally:
+            done.set()
+
+    # daemon: a probe hung on the dead backend must not block process exit
+    threading.Thread(target=probe, daemon=True).start()
+    done.wait(timeout=timeout_s)
+    return bool(ok)
+
+
 def main(final=128, n_warmup=2, n_iter=10, paint_method="auto",
          evolution="lpt"):
     import jax
+
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": f"PM forward+grad evals/sec at {final}^3 final mesh",
+            "value": None, "unit": "evals/sec", "vs_baseline": None,
+            "error": "TPU backend unavailable (device probe timed out)"}))
+        return None
 
     # persistent compilation cache: big-mesh compiles through the TPU tunnel
     # take tens of minutes; repeat runs reuse them
