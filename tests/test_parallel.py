@@ -150,3 +150,28 @@ def test_halo_paint_window_matches_paint(mesh, rng):
     for r, g, name in zip(g_ref, g_got, ("pos", "weights")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_map_chains_respects_mesh_context():
+    """Inside a spatial mesh_context, map_chains must not claim a
+    conflicting device subset: spatial-only context -> replicated chains;
+    ('chains','mesh') context -> its chains axis."""
+    import jax
+    import numpy as np
+    from jax import numpy as jnp
+    from jax.sharding import Mesh
+
+    from montecosmo_tpu.parallel.chains import map_chains
+    from montecosmo_tpu.parallel.context import mesh_context
+
+    fn = lambda x: 2.0 * x
+    xs = jnp.arange(4.0)
+
+    devs = np.asarray(jax.devices())
+    with mesh_context(Mesh(devs, ("mesh",))):          # spatial-only
+        out = map_chains(fn, 4)(xs)
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(xs))
+
+    with mesh_context(Mesh(devs.reshape(2, 4), ("chains", "mesh"))):
+        out = map_chains(fn, 4)(xs)
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(xs))
