@@ -14,7 +14,6 @@ The reference exposes no variational sampler (only the Adam MAP loop,
 reference samplers.py:679-696); this closes the north-star's "variational
 samplers step through it" clause.
 """
-from functools import partial
 
 import optax
 from jax import flatten_util, jit, lax, numpy as jnp, random as jr, value_and_grad

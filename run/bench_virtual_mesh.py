@@ -27,7 +27,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from jax import numpy as jnp, random as jr
+from jax import random as jr
 from jax.sharding import Mesh
 
 from montecosmo_tpu import FieldLevelModel, default_config
