@@ -11,9 +11,11 @@ B-splines or Kaiser-Bessel of the reference.
 same wrap), which reverse-mode AD recovers automatically: grad of a painted
 mesh w.r.t. weights is a read, and vice versa.
 
-A Pallas VMEM-one-hot window kernel for the lattice-ordered contract lives
-in `montecosmo_tpu.ops.paint_window_pallas` (opt-in via
-MONTECOSMO_PAINT_BACKEND=pallas); this module is the portable XLA path.
+A Pallas VMEM-one-hot window kernel was benchmarked against the XLA window
+path and LOST in both directions on the v5e (fwd 13.7 vs 9.5 ms, value+grad
+68.9 vs 24.3 ms at 112^3) — XLA already fuses the one-hot construction into
+the MXU contraction without an HBM intermediate, so the kernel had no
+traffic advantage left; it was removed (BENCH_NOTES.md round 3).
 
 Parity: reference `montecosmo/nbody.py:365-577` (paint/read/interlace/nufft).
 """
@@ -69,19 +71,7 @@ def paint(pos, shape: tuple, weights=1.0, order: int = 2,
         # pure window path: the XLA scatter is slow in BOTH directions on the
         # TPU (the early 'fast forward scatter' readings were async-dispatch
         # artifacts of the axon runtime -- see BENCH_NOTES.md); matmuls win
-        import os
         w = jnp.reshape(weights, (-1,)) if jnp.ndim(weights) else weights
-        if (os.environ.get("MONTECOSMO_PAINT_BACKEND") == "pallas"
-                and kernel_type == "rectangular"):
-            # opt-in Pallas VMEM-one-hot kernel (same contract); resolved at
-            # trace time so the benchmark can flip backends per process
-            import jax as _jax
-            from montecosmo_tpu.ops.paint_window_pallas import (
-                paint_window_pallas)
-            return paint_window_pallas(
-                pos.reshape(-1, len(shape)), shape, lattice_shape, w, order,
-                kernel_type, oversamp, max_disp=max_disp, clip=clip,
-                interpret=_jax.default_backend() == "cpu")
         from montecosmo_tpu.ops.paint_window import paint_window
         return paint_window(pos.reshape(-1, len(shape)), shape, lattice_shape,
                             w, order, kernel_type, oversamp,
