@@ -24,34 +24,89 @@ from montecosmo_tpu.utils.safe import safe_div
 
 
 # ----------------------------------------------------------------------- binning
-def _waves(mesh_shape, box_size, kedges, include_corners, los):
-    """k-bin edges (default width sqrt(d) k_fund, the minimum for connected
-    shells), |k| mesh, mu mesh, and rfft Hermitian double-count weights."""
-    kvec = rfftk(mesh_shape, box_size)
-    kmesh = sum(ki**2 for ki in kvec) ** 0.5
-    mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, los)), kmesh)
+def kbin_edges(mesh_shape, box_size, kedges=None, include_corners=True):
+    """Closed-form k-bin edges: [0, kmax) in steps of sqrt(d) k_fund by
+    default (the minimum width for connected shells); kmax is the smallest
+    axis Nyquist (include_corners=False) or the corner |k_Nyq| norm."""
+    box = np.broadcast_to(np.asarray(box_size, float), (len(mesh_shape),))
+    knyq = np.pi * np.asarray(mesh_shape) / box
+    kmax = float(np.linalg.norm(knyq)) if include_corners else float(knyq.min())
+    if not isinstance(kedges, (type(None), int, float)):
+        return np.asarray(kedges)
+    if kedges is None:
+        n_edges = max(
+            int(kmax / (len(mesh_shape) ** 0.5 * 2 * np.pi / box.min())), 1)
+    elif isinstance(kedges, int):
+        n_edges = kedges
+    else:
+        n_edges = max(int(kmax / kedges), 1)
+    return np.linspace(0.0, kmax, n_edges, endpoint=False) + kmax / n_edges / 2
 
-    if isinstance(kedges, (type(None), int, float)):
-        dim = len(mesh_shape)
-        kmin = 0.0
-        kmax = np.pi * (np.asarray(mesh_shape) / np.asarray(box_size)).min()
-        if include_corners:
-            kmax = kmesh.max()
-        if kedges is None:
-            dk = dim**0.5 * 2 * np.pi / np.asarray(box_size).min()
-            n_kedges = max(int((kmax - kmin) / dk), 1)
-        elif isinstance(kedges, int):
-            n_kedges = kedges
-        else:
-            n_kedges = max(int((kmax - kmin) / kedges), 1)
-        dk = (kmax - kmin) / n_kedges
-        kedges = np.linspace(kmin, kmax, n_kedges, endpoint=False) + dk / 2
 
-    rfftw = np.full(kmesh.shape, 2.0)
-    rfftw[..., 0] = 1.0
+def _kmu_grid(mesh_shape, box_size, los=(0.0, 0.0, 0.0)):
+    """Numpy |k| mesh, mu mesh, and Hermitian multiplicity over the rfft
+    grid (modes with 0 < kz < Nyquist also represent their conjugates)."""
+    kvec = rfftk(tuple(mesh_shape), tuple(box_size), dtype=np.float64)
+    kmesh = np.sqrt(sum(ki**2 for ki in kvec))
+    kpar = sum(ki * li for ki, li in zip(kvec, los))
+    mumesh = np.divide(kpar, kmesh, out=np.zeros(kmesh.shape), where=kmesh > 0)
+    mult = np.full(kmesh.shape, 2.0)
+    mult[..., 0] = 1.0
     if mesh_shape[-1] % 2 == 0:
-        rfftw[..., -1] = 1.0
-    return np.asarray(kedges), kmesh, mumesh, rfftw
+        mult[..., -1] = 1.0
+    return kmesh, mumesh, mult
+
+
+def spectrum_plan(mesh_shape, box_size=None, kedges=None, ells=(0,),
+                  include_corners=True, los=(0.0, 0.0, 0.0)):
+    """Host-side reduction plan for multipole spectra of an rfft mesh.
+
+    Everything static is folded into ONE per-mode weight matrix on the host,
+    so the device-side estimator is a single stacked segment-sum:
+        P_ell[bin] = sum_{modes m in bin} |delta_m|^2 * wl[m, ell]
+    with the Hermitian multiplicity, the (2 ell + 1) Legendre(mu) multipole
+    weights, the per-bin mode normalization AND the cell -> (Mpc/h)^3 units
+    all pre-folded into wl.  Out-of-range modes land in a trash segment.
+
+    Returns a dict: seg (n_modes,) int32 bin ids (nb = trash), wl (n_modes,
+    n_ell) float32, kedges, kmean, nmodes, nb.
+    """
+    mesh_shape = tuple(int(s) for s in mesh_shape)
+    box = (np.asarray(mesh_shape, float) if box_size is None
+           else np.broadcast_to(np.asarray(box_size, float),
+                                (len(mesh_shape),)))
+    kedges = kbin_edges(mesh_shape, box, kedges, include_corners)
+    nb = len(kedges) - 1
+    kmesh, mumesh, mult = _kmu_grid(mesh_shape, box, los)
+
+    k = kmesh.reshape(-1)
+    seg = np.searchsorted(kedges, k, side="right").astype(np.int32) - 1
+    seg = np.where((seg < 0) | (seg >= nb), nb, seg)
+    w = mult.reshape(-1)
+    inbin = seg < nb
+
+    nmodes = np.zeros(nb)
+    np.add.at(nmodes, seg[inbin], w[inbin])
+    ksum = np.zeros(nb)
+    np.add.at(ksum, seg[inbin], (k * w)[inbin])
+    kmean = ksum / np.maximum(nmodes, 1.0)
+
+    unit = float(np.prod(box / np.asarray(mesh_shape, float) ** 2))
+    inv_n = unit / np.maximum(nmodes, 1.0)
+    per_mode = w * np.concatenate([inv_n, [0.0]])[seg]
+    mu = np.broadcast_to(mumesh, kmesh.shape).reshape(-1)
+    wl = np.stack([(2 * int(ell) + 1) * legendre(int(ell))(mu) * per_mode
+                   for ell in ells], axis=-1)
+    return dict(seg=seg, wl=np.asarray(wl, np.float32),
+                kedges=np.asarray(kedges), kmean=kmean, nmodes=nmodes, nb=nb)
+
+
+def _segment_reduce(data, seg, nb):
+    """Sum `data` (n_modes, ...) into nb k-bins (+1 trash bin, dropped)."""
+    import jax
+
+    return jax.ops.segment_sum(data, jnp.asarray(seg),
+                               num_segments=nb + 1)[:nb]
 
 
 def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
@@ -60,7 +115,8 @@ def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
     """Auto/cross multipole power spectrum of 3D fields.
 
     `los` overrides the box-center-derived line of sight (useful when the
-    mesh axes live in a rotated box frame)."""
+    mesh axes live in a rotated box frame).  Device side: mode power times
+    the plan's pre-folded weight matrix, one stacked segment-sum."""
     if los is None:
         box_center = np.asarray(box_center)
         los = safe_div(box_center, np.linalg.norm(box_center))
@@ -68,48 +124,44 @@ def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
         deconv = (deconv, deconv)
 
     if jnp.isrealobj(mesh0):
-        mesh_shape = np.array(mesh0.shape)
+        mesh_shape = tuple(mesh0.shape)
         mesh0 = jnp.fft.rfftn(mesh0)
     else:
-        mesh_shape = np.array(ch2rshape(mesh0.shape))
+        mesh_shape = ch2rshape(mesh0.shape)
 
-    kvec = rfftk(tuple(mesh_shape))  # cell units for window deconvolution
+    kvec = rfftk(mesh_shape)  # cell units for window deconvolution
     if deconv[0]:
         mesh0 = mesh0 / bspline_hat(kvec, order=deconv[0])
-
-    if mesh1 is None:
-        mmk = mesh0.real**2 + mesh0.imag**2
-    else:
+    if mesh1 is not None:
         if jnp.isrealobj(mesh1):
             mesh1 = jnp.fft.rfftn(mesh1)
         if deconv[1]:
             mesh1 = mesh1 / bspline_hat(kvec, order=deconv[1])
-        mmk = mesh0 * mesh1.conj()
 
-    box_size = mesh_shape if box_size is None else np.asarray(box_size)
-    kedges, kmesh, mumesh, rfftw = _waves(tuple(mesh_shape), box_size, kedges,
-                                          include_corners, los)
-    n_bins = len(kedges) + 1
-    dig = np.digitize(np.asarray(kmesh).reshape(-1), kedges)
+    ells_tup = tuple(int(e) for e in np.atleast_1d(ells))
+    plan = spectrum_plan(mesh_shape, box_size, kedges, ells_tup,
+                         include_corners, los)
+    wl = jnp.asarray(plan["wl"])
 
-    kcount = np.bincount(dig, weights=rfftw.reshape(-1), minlength=n_bins)[1:-1]
-    kmean = np.bincount(dig, weights=np.asarray(kmesh * rfftw).reshape(-1),
-                        minlength=n_bins)[1:-1] / kcount
+    if mesh1 is None:
+        power = (mesh0.real**2 + mesh0.imag**2).reshape(-1, 1)
+        ptab = _segment_reduce(power * wl, plan["seg"], plan["nb"])
+    else:
+        cross = (mesh0 * mesh1.conj()).reshape(-1, 1)
+        # stack (re, im) as a trailing real axis: one real segment-sum, then
+        # the modulus per (bin, ell)
+        parts = jnp.stack([cross.real * wl, cross.imag * wl], -1)
+        flat = _segment_reduce(parts.reshape(parts.shape[0], -1),
+                               plan["seg"], plan["nb"])
+        flat = flat.reshape(plan["nb"], len(ells_tup), 2)
+        ptab = jnp.hypot(flat[..., 0], flat[..., 1])
 
-    pows = {}
-    for ell in np.atleast_1d(ells):
-        leg = legendre(int(ell))(np.asarray(mumesh))
-        weights = (mmk * ((2 * ell + 1) * leg * rfftw)).reshape(-1)
-        if mesh1 is None:
-            pmean = jnp.bincount(dig, weights=weights, length=n_bins)[1:-1]
-        else:
-            # complex bincount is slow: reduce real and imag separately
-            pre = jnp.bincount(dig, weights=weights.real, length=n_bins)[1:-1]
-            pim = jnp.bincount(dig, weights=weights.imag, length=n_bins)[1:-1]
-            pmean = (pre**2 + pim**2) ** 0.5
-        pmean *= np.prod(box_size / mesh_shape**2) / kcount  # cell -> (Mpc/h)^3
-        pows[int(ell)] = pmean
-
+    # empty bins keep the historical 0/0 = NaN signature
+    empty = jnp.asarray(plan["nmodes"] == 0)
+    pows = {ell: jnp.where(empty, jnp.nan, ptab[:, i])
+            for i, ell in enumerate(ells_tup)}
+    kcount = plan["nmodes"]
+    kmean = np.where(kcount > 0, plan["kmean"], np.nan)
     if isinstance(ells, int):
         return kcount, kmean, pows[ells]
     return kcount, kmean, pows
@@ -153,22 +205,16 @@ def bispectrum(mesh, box_size=None, kedges=None, open_triangles=False,
         mesh_shape = np.array(ch2rshape(mesh.shape))
     box_size = mesh_shape if box_size is None else np.asarray(box_size)
 
-    kedges, kmesh, _, rfftw = _waves(tuple(mesh_shape), box_size, kedges,
-                                     False, np.asarray(los, float))
-    kmesh = np.asarray(kmesh)
-    n_bins = len(kedges) - 1
-    dig = np.digitize(kmesh, kedges)          # bin b occupies dig == b + 1
-
-    kcount = np.bincount(dig.reshape(-1), weights=rfftw.reshape(-1),
-                         minlength=n_bins + 2)[1:-1]
-    kmean = np.bincount(dig.reshape(-1),
-                        weights=(kmesh * rfftw).reshape(-1),
-                        minlength=n_bins + 2)[1:-1] / np.maximum(kcount, 1)
+    plan = spectrum_plan(tuple(mesh_shape), box_size, kedges, ells=(0,),
+                         include_corners=False, los=np.asarray(los, float))
+    kedges, kmean, kcount = plan["kedges"], plan["kmean"], plan["nmodes"]
+    n_bins = plan["nb"]
+    seg = plan["seg"].reshape((*mesh_shape[:-1], mesh_shape[-1] // 2 + 1))
 
     # shell-filtered fields (n_bins small: unrolled FFTs)
     fs, ones = [], []
     for b in range(n_bins):
-        mask = jnp.asarray(dig == b + 1, mesh.real.dtype)
+        mask = jnp.asarray(seg == b, mesh.real.dtype)
         fs.append(jnp.fft.irfftn(mesh * mask, tuple(mesh_shape)))
         ones.append(jnp.fft.irfftn(mask + 0j, tuple(mesh_shape)))
     fs, ones = jnp.stack(fs), jnp.stack(ones)

@@ -867,8 +867,8 @@ class FieldLevelModel(Model):
     def _powspec_estimate(self, delta):
         """Stacked multipole spectra of a density-contrast cube: (n_ell, n_k).
 
-        Traceable: static binning (numpy digitize of the static |k| mesh) +
-        jnp.bincount reductions, as in `metrics._spectrum`."""
+        Traceable: the host-side `metrics.spectrum_plan` folds binning,
+        Legendre weights and units into constants; one segment-sum on device."""
         from montecosmo_tpu.metrics import _spectrum
 
         _, _, pows = _spectrum(delta, box_size=self.box_size,
@@ -894,7 +894,7 @@ class FieldLevelModel(Model):
         cache = getattr(self, "_powspec_cache", None)
         if cache is not None:
             return cache
-        from montecosmo_tpu.metrics import _waves, legendre
+        from montecosmo_tpu.metrics import _kmu_grid, legendre, spectrum_plan
         from montecosmo_tpu.ops.power import lin_power
         from montecosmo_tpu.utils.io import to_np
 
@@ -905,10 +905,15 @@ class FieldLevelModel(Model):
                           "line of sight (off-center box): los_fid is zero, "
                           "higher multipoles are estimated with mu=0.")
 
-        kedges, kmesh, mumesh, rfftw = _waves(
-            tuple(self.final_shape), self.box_size, self.powspec_kedges,
-            False, self.los_fid)
-        kmesh, mumesh = to_np(kmesh), to_np(mumesh)
+        box = np.broadcast_to(np.asarray(self.box_size, float), (3,))
+        plan = spectrum_plan(tuple(self.final_shape), box,
+                             self.powspec_kedges, ells=tuple(self.poles),
+                             include_corners=False, los=self.los_fid)
+        kedges, kmean, nk = plan["kedges"], plan["kmean"], plan["nmodes"]
+        seg, B = plan["seg"], plan["nb"]
+        kmesh, mumesh, mult = _kmu_grid(tuple(self.final_shape), box,
+                                        self.los_fid)
+        nk = np.maximum(nk, 1.0)
 
         # fiducial anisotropic galaxy power per mode (jit: one tunnel call
         # on the remote-TPU runtime instead of per-op eager dispatch)
@@ -921,23 +926,16 @@ class FieldLevelModel(Model):
         shot = float(np.mean(self.fiduc["s_e"])) ** 2 / nbar
         ptot = (b1E + f_fid * mumesh**2) ** 2 * pk + shot
 
-        n_bins = len(kedges) + 1
-        dig = np.digitize(kmesh.reshape(-1), kedges)
-        wflat = rfftw.reshape(-1)
-        nk = np.bincount(dig, weights=wflat, minlength=n_bins)[1:-1]
-        nk = np.maximum(nk, 1.0)
-        kmean = np.bincount(dig, weights=(kmesh * rfftw).reshape(-1),
-                            minlength=n_bins)[1:-1] / nk
-
         poles = [int(l) for l in self.poles]
         legs = [legendre(l)(mumesh).reshape(-1) for l in poles]
-        var = 2.0 * wflat * ptot.reshape(-1) ** 2
-        D, B = len(poles), len(kedges) - 1
+        var = 2.0 * mult.reshape(-1) * ptot.reshape(-1) ** 2
+        inbin = seg < B
+        D = len(poles)
         cov = np.empty((B, D, D))
         for i, li in enumerate(poles):
             for j, lj in enumerate(poles[: i + 1]):
-                cij = np.bincount(dig, weights=legs[i] * legs[j] * var,
-                                  minlength=n_bins)[1:-1]
+                cij = np.zeros(B)
+                np.add.at(cij, seg[inbin], (legs[i] * legs[j] * var)[inbin])
                 cij *= (2 * li + 1) * (2 * lj + 1) / nk**2
                 cov[:, i, j] = cov[:, j, i] = cij
         # physical units (modes carry cell-unit power in the estimator; the

@@ -161,45 +161,6 @@ def halo_read(pos_sharded, mesh_sharded, mesh: Mesh, order=2,
     return fn(pos_sharded, mesh_sharded)
 
 
-def _fold_axis_ext(blocks, out_len, stride, base0, block_axis, win_axis):
-    """Overlap-add of per-group windows along a NON-periodic axis.
-
-    Like `paint_window._fold_axis` but into a length-`out_len` buffer with no
-    wrap: group g's window starts at g*stride + base0 with base0 >= 0 and all
-    windows contained in [0, out_len) (the caller guarantees the margin fits
-    inside the halo).  Returns the array with the (group, window) axes
-    replaced by one length-`out_len` axis at `block_axis`.
-    """
-    W = blocks.shape[win_axis]
-    n_seg = -(-W // stride)
-    pad = n_seg * stride - W
-    if pad:
-        pad_width = [(0, 0)] * blocks.ndim
-        pad_width[win_axis] = (0, pad)
-        blocks = jnp.pad(blocks, pad_width)
-
-    blocks = jnp.moveaxis(blocks, (block_axis, win_axis), (0, 1))
-    n = blocks.shape[0]
-    rest = blocks.shape[2:]
-    blocks = blocks.reshape((n, n_seg, stride) + rest)
-
-    # every group's WINDOW content fits ([0, out_len)); only the zero pad of
-    # the last segment may spill past the end, so trimming the tail is safe
-    assert base0 >= 0 and (n - 1) * stride + base0 + W <= out_len, (
-        f"window fold out of range (halo too small for the paint margin): "
-        f"base0={base0} W={W} out_len={out_len}")
-    out = jnp.zeros((out_len,) + rest, blocks.dtype)
-    for c in range(n_seg):
-        off = base0 + c * stride
-        flat = blocks[:, c].reshape((n * stride,) + rest)
-        trim = max(0, off + n * stride - out_len)
-        if trim:
-            flat = flat[:n * stride - trim]
-        out = out + jnp.pad(
-            flat, [(off, out_len - off - flat.shape[0])] + [(0, 0)] * len(rest))
-    return jnp.moveaxis(out, 0, block_axis)
-
-
 def halo_paint_window_local(pos, shape, lattice_shape, weights=1.0, order=2,
                             axis_name="mesh", kernel_type="rectangular",
                             oversamp=1.0, halo=None, max_disp=8,
@@ -220,10 +181,8 @@ def halo_paint_window_local(pos, shape, lattice_shape, weights=1.0, order=2,
     `halo_paint_local` up to f32 summation order.
     """
     from montecosmo_tpu.ops.paint_window import (
-        _axis_window_weights, _clip_to_sites, _fold_axis, _pick_group,
-        _regroup,
+        _clip_to_sites, _paint_windows_xstream, _pick_group, _regroup,
     )
-    from jax import checkpoint as jax_checkpoint
 
     if precision is None:
         precision = lax.Precision.HIGHEST
@@ -270,29 +229,20 @@ def halo_paint_window_local(pos, shape, lattice_shape, weights=1.0, order=2,
     bases = gidx * jnp.asarray([g * s for g, s in zip(G, stride)]) \
         + jnp.asarray([halo - margin[0], -margin[1], -margin[2]])
 
-    def body(args):
-        pg, w, b = args
-        ax = _axis_window_weights(pg[:, 0] - b[0].astype(dtype), W[0], order,
-                                  kernel_type, oversamp)
-        ay = _axis_window_weights(pg[:, 1] - b[1].astype(dtype), W[1], order,
-                                  kernel_type, oversamp)
-        az = _axis_window_weights(pg[:, 2] - b[2].astype(dtype), W[2], order,
-                                  kernel_type, oversamp)
-        oh_xy = (ax[:, :, None] * ay[:, None, :]).reshape(Pg, W[0] * W[1])
-        return jnp.einsum("pr,pz->rz", oh_xy, az * w[:, None],
-                          preferred_element_type=dtype, precision=precision)
-
-    blocks = lax.map(jax_checkpoint(body), (posg, wg, bases),
-                     batch_size=batch_size)
-    blocks = blocks.reshape(nG + (W[0], W[1], W[2]))
-
-    out = _fold_axis(blocks, shape[2], G[2] * stride[2], -margin[2],
-                     block_axis=2, win_axis=5)
-    out = _fold_axis(out, shape[1], G[1] * stride[1], -margin[1],
-                     block_axis=1, win_axis=4)
-    out = _fold_axis_ext(out, nx_ext, G[0] * stride[0], halo - margin[0],
-                         block_axis=0, win_axis=3)
-    return _halo_exchange_add(out, halo, axis_name)
+    # x-streamed overlap-add straight into the extended local buffer (no
+    # stacked per-group blocks -- see _paint_windows_xstream)
+    xoffs = (jnp.arange(nG[0], dtype=jnp.int32) * (G[0] * stride[0])
+             + (halo - margin[0]))
+    # varying-typed scan carry: the accumulator differs per shard
+    init = lax.pcast(jnp.zeros((nx_ext,) + tuple(shape[1:]), dtype),
+                     (axis_name,), to="varying")
+    ext = _paint_windows_xstream(
+        posg, wg, bases, xoffs, nG=nG, G=G, W=W, stride=stride,
+        margin=margin, order=order, kernel_type=kernel_type,
+        oversamp=oversamp, Pg=Pg, batch_size=batch_size,
+        precision=precision, dtype=dtype, yz_shape=shape[1:],
+        ext_len=nx_ext, init=init)
+    return _halo_exchange_add(ext, halo, axis_name)
 
 
 def halo_paint_window(pos_sharded, shape, lattice_shape, mesh: Mesh,

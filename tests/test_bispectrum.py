@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from montecosmo_tpu.metrics import _waves, bispectrum
+from montecosmo_tpu.metrics import kbin_edges, bispectrum
 
 
 def _brute_force(mesh, box, kedges_spec):
@@ -24,8 +24,7 @@ def _brute_force(mesh, box, kedges_spec):
     kx, ky, kz = np.meshgrid(freq, freq, freq, indexing="ij")
     kf = 2 * np.pi / box[0]
     kmag = np.sqrt(kx**2 + ky**2 + kz**2) * kf
-    kedges, _, _, _ = _waves((N,) * 3, np.asarray(box), kedges_spec, False,
-                             np.zeros(3))
+    kedges = kbin_edges((N,) * 3, np.asarray(box), kedges_spec, False)
     n_bins = len(kedges) - 1
     dig = np.digitize(kmag, kedges).reshape(-1)          # bin b -> dig b+1
     idx = np.stack([kx, ky, kz], -1).astype(int).reshape(-1, 3)
