@@ -42,7 +42,10 @@ def map_chains(fn, n_chains, mesh: Mesh = None, devices=None):
             n_dev -= 1
         mesh = Mesh(devices[:n_dev].reshape(n_dev, 1), ("chains", "mesh"))
 
-    batched = vmap(fn)
+    # spmd_axis_name threads the chain axis through any shard_map islands
+    # inside fn (mesh_context pencil FFTs / halo paints), so dp x sp runs as
+    # ONE partitioned program instead of replicating the field per chain
+    batched = vmap(fn, spmd_axis_name="chains")
     sharding = NamedSharding(mesh, P("chains"))
 
     def wrapped(*args):

@@ -228,11 +228,16 @@ def main():
         import jax as _jax
         from jax.sharding import Mesh as _Mesh
         from montecosmo_tpu.parallel.context import mesh_context as _mc
-        _devs = _np.asarray(_jax.devices()[:args.spatial_mesh])
-        # one combined mesh: a singleton 'chains' axis keeps map_chains on
-        # the SAME device set as the spatial FFT islands (chains replicated,
-        # every device works on each chain's mesh shards)
-        _ctx = _mc(_Mesh(_devs.reshape(1, -1), ("chains", "mesh")))
+        # one combined dp x sp mesh: as many chain rows as devices allow
+        # (chains axis data-parallel over rows, each chain's field sharded
+        # over the 'mesh' axis — map_chains threads the chain axis through
+        # the shard_map islands via spmd_axis_name, one partitioned program)
+        _rows = max(1, min(args.n_chains,
+                           len(_jax.devices()) // args.spatial_mesh))
+        while args.n_chains % _rows:
+            _rows -= 1
+        _devs = _np.asarray(_jax.devices()[:_rows * args.spatial_mesh])
+        _ctx = _mc(_Mesh(_devs.reshape(_rows, -1), ("chains", "mesh")))
     else:
         from contextlib import nullcontext
         _ctx = nullcontext()
