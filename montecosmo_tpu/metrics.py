@@ -129,7 +129,8 @@ def _spectrum(mesh0, mesh1=None, box_size=None, box_center=(0.0, 0.0, 0.0),
     else:
         mesh_shape = ch2rshape(mesh0.shape)
 
-    kvec = rfftk(mesh_shape)  # cell units for window deconvolution
+    from montecosmo_tpu.ops.fourier import lazy_kvec
+    kvec = lazy_kvec(rfftk(mesh_shape), mesh0)  # cell units, staged on device
     if deconv[0]:
         mesh0 = mesh0 / bspline_hat(kvec, order=deconv[0])
     if mesh1 is not None:
@@ -434,7 +435,8 @@ def optim_mu2_delta(mesh, los):
     real space.
     """
     mesh_shape = ch2rshape(mesh.shape)
-    kvec = rfftk(mesh_shape)
+    from montecosmo_tpu.ops.fourier import lazy_kvec
+    kvec = lazy_kvec(rfftk(mesh_shape), mesh)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
     khat = jnp.stack(
         [safe_div(jnp.broadcast_to(ki, mesh.shape), kmesh) for ki in kvec], -1)

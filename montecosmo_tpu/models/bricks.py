@@ -15,7 +15,7 @@ from jax.scipy.spatial.transform import Rotation
 
 from montecosmo_tpu.metrics import optim_mu2_delta
 from montecosmo_tpu.ops.background import Background, Cosmology, Esqr, RH, get_cosmology
-from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk, irfftn, rfftn
+from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, lazy_kvec, rfftk, irfftn, rfftn
 from montecosmo_tpu.ops.hermitian import (
     ch2rshape, cgh2rg, r2chshape, rg2cgh, scale_shape,
 )
@@ -57,7 +57,7 @@ def add_png(cosmo: Cosmology, fNL, lin_mesh, box_size, kpow=None, bg=None):
     Parity: bricks.py:129-141.
     """
     mesh_shape = ch2rshape(lin_mesh.shape)
-    kvec = rfftk(mesh_shape, box_size)
+    kvec = lazy_kvec(rfftk(mesh_shape, box_size), lin_mesh)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
     trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
 
@@ -83,7 +83,8 @@ def white2lin(cosmo: Cosmology, white_mesh, init_shape, box_size, kpow=None):
 
     Parity: bricks.py:152-157.
     """
-    pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow)
+    pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow,
+                           like=white_mesh)
     return white_mesh * pmesh**0.5
 
 
@@ -92,13 +93,15 @@ def lin2white(cosmo: Cosmology, lin_mesh, init_shape, box_size, kpow=None):
 
     Parity: bricks.py:159-164.
     """
-    pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow)
+    pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow,
+                           like=lin_mesh)
     return safe_div(lin_mesh, pmesh**0.5)
 
 
 # ======================================================================= Kaiser
 def kaiser_boost(cosmo: Cosmology, a, mesh_shape, box_size, b1E, fNL_bp=0.0,
-                 png_type=None, los=(0.0, 0.0, 0.0), kpow=None, bg=None):
+                 png_type=None, los=(0.0, 0.0, 0.0), kpow=None, bg=None,
+                 like=None):
     """Eulerian Kaiser boost (growth x (b1E + f mu^2)), plus the PNG
     scale-dependent term.
 
@@ -107,6 +110,8 @@ def kaiser_boost(cosmo: Cosmology, a, mesh_shape, box_size, b1E, fNL_bp=0.0,
     if bg is None:
         bg = Background.create(cosmo)
     kvec = rfftk(mesh_shape, box_size)
+    if like is not None:
+        kvec = lazy_kvec(kvec, like)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
     mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, los)), kmesh)
 
@@ -135,11 +140,11 @@ def kaiser_model(cosmo: Cosmology, a, lin_mesh, box_size, b1E, fNL_bp=0.0,
     if los.shape == (3,) and jnp.shape(a) == ():  # flat-sky, no light-cone
         boost = kaiser_boost(cosmo, a, mesh_shape, box_size, b1E=b1E,
                              fNL_bp=fNL_bp, png_type=png_type, los=los,
-                             kpow=kpow, bg=bg)
+                             kpow=kpow, bg=bg, like=lin_mesh)
         delta = irfftn(lin_mesh * boost)
 
     elif los.shape == (3,):  # flat-sky, light-cone
-        kvec = rfftk(mesh_shape, box_size)
+        kvec = lazy_kvec(rfftk(mesh_shape, box_size), lin_mesh)
         kmesh = sum(ki**2 for ki in kvec) ** 0.5
         mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, los)), kmesh)
 
@@ -154,7 +159,7 @@ def kaiser_model(cosmo: Cosmology, a, lin_mesh, box_size, b1E, fNL_bp=0.0,
         delta, mu2_delta = optim_mu2_delta(lin_mesh, los)
         delta = bg.a2g(a) * (b1E * delta + bg.a2f(a) * mu2_delta)
         if png_type is not None:
-            kvec = rfftk(mesh_shape, box_size)
+            kvec = lazy_kvec(rfftk(mesh_shape, box_size), lin_mesh)
             kmesh = sum(ki**2 for ki in kvec) ** 0.5
             trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
             delta += fNL_bp * irfftn(safe_div(lin_mesh, trans))
@@ -170,9 +175,10 @@ def kaiser_posterior(delta_obs, cosmo: Cosmology, a, box_size, var_noise, b1E,
     Parity: bricks.py:234-247.
     """
     mesh_shape = ch2rshape(delta_obs.shape)
-    pmesh = lin_power_mesh(cosmo, mesh_shape, box_size)
+    pmesh = lin_power_mesh(cosmo, mesh_shape, box_size, like=delta_obs)
     pmesh *= np.prod(np.divide(mesh_shape, box_size))  # power in cell units
-    boost = kaiser_boost(cosmo, a, mesh_shape, box_size, b1E, los=los, bg=bg)
+    boost = kaiser_boost(cosmo, a, mesh_shape, box_size, b1E, los=los, bg=bg,
+                         like=delta_obs)
 
     stds = (pmesh / (1 + boost**2 / var_noise * pmesh)) ** 0.5
     means = stds**2 * boost / var_noise * delta_obs
@@ -247,7 +253,7 @@ def samp2base_mesh(init: dict, precond, transfer, inv=False, temp=1.0) -> dict:
 # ======================================================================= bias
 def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
                     png_type=None, kpow=None, read_order: int = 2, bg=None,
-                    sites_shape=None):
+                    sites_shape=None, remat_ops=False):
     """Lagrangian bias expansion weights up to 3rd order + higher-derivative +
     PNG operators, read at particle positions and scaled by growth powers:
 
@@ -271,59 +277,106 @@ def lagrangian_bias(cosmo: Cosmology, pos, a, box_size, lin_mesh, bias, png,
     fNL_bpd2, fNL_bps2 = png["fNL_bpd2"], png["fNL_bps2"]
     fNL_bn2p = png["fNL_bn2p"]
 
-    delta = irfftn(lin_mesh)
     growths = bg.a2g(a)
-    mesh_shape = delta.shape
-    kvec = rfftk(mesh_shape, box_size)
-    kmesh = sum(ki**2 for ki in kvec) ** 0.5
-
-    # ---- build every operator FIELD, then gather them all at the particle
-    # positions with ONE fused row-gather (TPU: C fused reads cost ~1 read)
-    # shear tensor via 5 FFTs (traceless: s_22 from the trace condition)
-    pot = lin_mesh * invlaplace_hat(kvec)
-    shear = {}
-    for i in range(2):
-        nabi = gradient_hat(kvec, i)
-        shear[(i, i)] = irfftn(nabi**2 * pot - lin_mesh / 3)
-        for j in range(i + 1, 3):
-            nabj = gradient_hat(kvec, j)
-            shear[(i, j)] = irfftn(nabi * nabj * pot)
-    shear[(2, 2)] = -(shear[(0, 0)] + shear[(1, 1)])
-    sa, sb, sc = shear[(0, 0)], shear[(1, 1)], shear[(2, 2)]
-    sd, se, sf = shear[(0, 1)], shear[(0, 2)], shear[(1, 2)]
-
-    shear2 = sa**2 + sb**2 + sc**2 + 2 * (sd**2 + se**2 + sf**2)
-    # bs3 operator = 3 det(shear) (Sarrus)
-    shear3 = 3 * (sa * (sb * sc - sf**2) - sd * (sd * sc - se * sf)
-                  + se * (sd * sf - sb * se))
-    delta_nab2 = irfftn(-(kmesh**2) * lin_mesh)
-    grad_fields = [irfftn(gradient_hat(kvec, i) * lin_mesh)
-                   for i in range(len(kvec))]  # in h/Mpc (velocity bias)
-
-    fields = [delta, shear2, shear3, delta_nab2, *grad_fields]
-    if png_type is not None:
-        trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
-        phi = irfftn(safe_div(lin_mesh, trans))
-        phi_nab2 = irfftn(-(kmesh**2) * safe_div(lin_mesh, trans))
-        fields += [phi, phi_nab2]
-    else:
-        phi = 0.0
-
-    if sites_shape is not None and read_order <= 2:
-        # pos is the exact regular lattice: the gather degenerates to strided
-        # slicing (identity at stride 1) — zero random-access traffic
-        vals = read_sites(fields, sites_shape)
-    else:
-        vals = read_multi(pos, fields, read_order)
+    mesh_shape = ch2rshape(lin_mesh.shape) if jnp.iscomplexobj(lin_mesh) \
+        else lin_mesh.shape
+    kvec = lazy_kvec(rfftk(mesh_shape, box_size), lin_mesh)
     g = growths.squeeze()
-    delta_pos = vals[..., 0] * g
-    shear2_pos = vals[..., 1] * g**2
-    shear3_pos = vals[..., 2] * g**3
-    delta_nab2_pos = vals[..., 3] * g
-    delta_nabpar_pos = vals[..., 4:7]
-    if png_type is not None:
-        phi_pos = vals[..., 7]
-        phi_nab2_pos = vals[..., 8]
+
+    def shear_comp(lk, i, j):
+        pot = lk * invlaplace_hat(kvec)
+        nabi = gradient_hat(kvec, i)
+        if i == j:
+            return irfftn(nabi**2 * pot - lk / 3)
+        return irfftn(nabi * gradient_hat(kvec, j) * pot)
+
+    def shear_fields(lk, comp_fn):
+        """shear2 = s_ij s_ij and shear3 = 3 det(s) meshes (traceless s;
+        s_22 from the trace condition — 5 FFTs)."""
+        sa = comp_fn(lk, 0, 0)
+        sb = comp_fn(lk, 1, 1)
+        sc = -(sa + sb)
+        sd = comp_fn(lk, 0, 1)
+        se = comp_fn(lk, 0, 2)
+        sf = comp_fn(lk, 1, 2)
+        shear2 = sa**2 + sb**2 + sc**2 + 2 * (sd**2 + se**2 + sf**2)
+        # bs3 operator = 3 det(shear) (Sarrus)
+        shear3 = 3 * (sa * (sb * sc - sf**2) - sd * (sd * sc - se * sf)
+                      + se * (sd * sf - sb * se))
+        return shear2, shear3
+
+    def k2(lk):
+        return sum(ki**2 for ki in kvec) * lk
+
+    if remat_ops and sites_shape is not None and read_order <= 2:
+        # ---- memory-bounded form: each operator group is its own remat
+        # block, so the transpose frees one group's FFT workspaces before
+        # recomputing the next (a single fused block schedules ~10 big-mesh
+        # FFTs concurrently and blows HBM at 448^3 — BENCH_NOTES round 3);
+        # reads at lattice sites are strided slices, so per-group reads cost
+        # nothing extra over the fused row-gather of the general path.
+        import jax as _jax
+
+        def rd(mesh):
+            return read_sites(mesh, sites_shape)
+
+        ck = _jax.checkpoint
+        delta_pos = ck(lambda lk: rd(irfftn(lk)))(lin_mesh) * g
+        s2, s3 = ck(lambda lk: tuple(
+            rd(m) for m in shear_fields(lk, ck(shear_comp, static_argnums=(1, 2)))
+        ))(lin_mesh)
+        shear2_pos, shear3_pos = s2 * g**2, s3 * g**3
+        delta_nab2_pos = ck(lambda lk: rd(irfftn(-k2(lk))))(lin_mesh) * g
+        delta_nabpar_pos = jnp.stack(
+            [ck(lambda lk, i=i: rd(irfftn(gradient_hat(kvec, i) * lk)))(
+                lin_mesh) for i in range(3)], axis=-1)
+        if png_type is not None:
+            interp = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)
+
+            def phik(lk):
+                kmesh = sum(ki**2 for ki in kvec) ** 0.5
+                return safe_div(lk, interp(kmesh))
+
+            phi = irfftn(phik(lin_mesh))  # full mesh: a likelihood output
+            phi_pos = rd(phi)
+            phi_nab2_pos = ck(lambda lk: rd(irfftn(-k2(phik(lk)))))(lin_mesh)
+        else:
+            phi = 0.0
+
+    else:
+        # ---- build every operator FIELD, then gather them all at the
+        # particle positions with ONE fused row-gather (TPU: C fused reads
+        # cost ~1 read)
+        kmesh = sum(ki**2 for ki in kvec) ** 0.5
+        delta = irfftn(lin_mesh)
+        shear2, shear3 = shear_fields(lin_mesh, shear_comp)
+        delta_nab2 = irfftn(-(kmesh**2) * lin_mesh)
+        grad_fields = [irfftn(gradient_hat(kvec, i) * lin_mesh)
+                       for i in range(len(kvec))]  # in h/Mpc (velocity bias)
+
+        fields = [delta, shear2, shear3, delta_nab2, *grad_fields]
+        if png_type is not None:
+            trans = trans_phi2delta_interp(cosmo, kpow=kpow, bg=bg)(kmesh)
+            phi = irfftn(safe_div(lin_mesh, trans))
+            phi_nab2 = irfftn(-(kmesh**2) * safe_div(lin_mesh, trans))
+            fields += [phi, phi_nab2]
+        else:
+            phi = 0.0
+
+        if sites_shape is not None and read_order <= 2:
+            # pos is the exact regular lattice: the gather degenerates to
+            # strided slicing (identity at stride 1) — zero random traffic
+            vals = read_sites(fields, sites_shape)
+        else:
+            vals = read_multi(pos, fields, read_order)
+        delta_pos = vals[..., 0] * g
+        shear2_pos = vals[..., 1] * g**2
+        shear3_pos = vals[..., 2] * g**3
+        delta_nab2_pos = vals[..., 3] * g
+        delta_nabpar_pos = vals[..., 4:7]
+        if png_type is not None:
+            phi_pos = vals[..., 7]
+            phi_nab2_pos = vals[..., 8]
 
     # ---- combine operators into the bias weights (renormalized)
     weights = 1.0
@@ -429,7 +482,7 @@ def eulerian_bias(matter_mesh, phi_mesh, box_size, bias, png, png_type=None):
     phi = irfftn(phi_mesh)
 
     mesh_shape = delta.shape
-    kvec = rfftk(mesh_shape, box_size)
+    kvec = lazy_kvec(rfftk(mesh_shape, box_size), matter_mesh)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
 
     weights = 1.0

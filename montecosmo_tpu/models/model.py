@@ -606,7 +606,11 @@ class FieldLevelModel(Model):
 
         init = {}
         name_ = self.groups["init"][0] + "_"  # 'white_mesh_'
-        scale, transfer = self._precond_scale_and_transfer()
+        # tie the per-mode scale construction to a traced latent: the kaiser
+        # SNR mesh (init_shape-sized) must stage on device, not be baked as
+        # a literal into the serialized program (ops.fourier.lazy_kvec)
+        scale, transfer = self._precond_scale_and_transfer(
+            like=cosmology.Omega_m)
 
         if self.cut_mask is not None:
             samp = ppl.sample(name_, Normal(0.0, scale[self.cut_mask]))
@@ -685,11 +689,16 @@ class FieldLevelModel(Model):
             # below that, recompute costs more than it saves (~4% at 112^3).
             use_remat = np.prod(self.evol_shape) > 4_000_000
             maybe_ckpt = jax.checkpoint if use_remat else (lambda f: f)
-            lbe_weights, dvel, phi = maybe_ckpt(
+            # with per-operator-group remat active, an OUTER checkpoint would
+            # nest remats (double recompute buffering) — use one or the other
+            lbe_remat_ops = use_remat and self.evol_sites is not None
+            maybe_ckpt_lbe = (lambda f: f) if lbe_remat_ops else maybe_ckpt
+            lbe_weights, dvel, phi = maybe_ckpt_lbe(
                 lambda im, b, p: lagrangian_bias(
                     cosmology, pos, a, self.box_size, im, b, p,
                     png_type=self.png_type, kpow=self.lin_kpow, read_order=1,
-                    bg=bg, sites_shape=self.evol_sites))(init_mesh, bias, png)
+                    bg=bg, sites_shape=self.evol_sites,
+                    remat_ops=lbe_remat_ops))(init_mesh, bias, png)
             if self.bias_type == "eulerian":
                 if self.png_type is None:
                     phi_pos = 0.0
@@ -731,39 +740,47 @@ class FieldLevelModel(Model):
             else:
                 raise ValueError(f"Unknown evolution: {self.evolution}")
 
-            los, a = los_scalefactor_pos(pos, self.box_center, self.box_rot,
-                                         self.box_size, self.evol_shape,
-                                         bg, self.a_obs, self.curved_sky)
-            pos = cell2phys_pos(pos, self.box_center, self.box_rot,
-                                self.box_size, self.evol_shape)
-
-            # RSD and AP
-            dpos = rsd(bg, vel, los, a, self.box_rot, self.box_size,
-                       self.evol_shape, dvel)
-            pos = pos + dpos
-            if self.ap_auto is not None:
-                if self.ap_auto:
-                    pos = ap_auto(pos, los, bg, self.bg_fid, self.curved_sky)
-                else:
-                    pos = ap_param(pos, los, ap, self.curved_sky)
-
-            pos = phys2cell_pos(pos, self.box_center, self.box_rot,
-                                self.box_size, self.init_shape)
+            def displace(pos, vel, dvel):
+                """Shared RSD/AP displacement pipeline -> paint-frame cells."""
+                los, a = los_scalefactor_pos(pos, self.box_center, self.box_rot,
+                                             self.box_size, self.evol_shape,
+                                             bg, self.a_obs, self.curved_sky)
+                pos = cell2phys_pos(pos, self.box_center, self.box_rot,
+                                    self.box_size, self.evol_shape)
+                dpos = rsd(bg, vel, los, a, self.box_rot, self.box_size,
+                           self.evol_shape, dvel)
+                pos = pos + dpos
+                if self.ap_auto is not None:
+                    if self.ap_auto:
+                        pos = ap_auto(pos, los, bg, self.bg_fid, self.curved_sky)
+                    else:
+                        pos = ap_param(pos, los, ap, self.curved_sky)
+                return phys2cell_pos(pos, self.box_center, self.box_rot,
+                                     self.box_size, self.init_shape)
 
             if self.bias_type == "lagrangian":
-                gxy_mesh = nufft(pos, self.init_shape, tuple(self.paint_shape),
-                                 weights=lbe_weights,
-                                 paint_order=self.paint_order,
-                                 interlace_order=self.interlace_order,
-                                 kernel_type=self.kernel_type,
-                                 paint_deconv=self.paint_deconv,
-                                 lattice_shape=self.paint_lattice,
-                                 max_disp=self.max_disp, clip=True)
-                gxy_mesh *= np.prod(np.divide(self.init_shape, self.ptcl_shape))
-                gxy_mesh = chreshape(gxy_mesh, r2chshape(self.paint_shape))
-                gxy_mesh = irfftn(gxy_mesh)
+                # checkpoint the whole observable render at large meshes: the
+                # transpose then keeps only (pos, vel, dvel, weights) and
+                # recomputes the RSD/AP chain and interlaced paints, instead
+                # of storing every (P, 3) intermediate and per-interlace rfft
+                def render_gxy(pos, vel, dvel, weights):
+                    p = displace(pos, vel, dvel)
+                    gxy = nufft(p, self.init_shape, tuple(self.paint_shape),
+                                weights=weights,
+                                paint_order=self.paint_order,
+                                interlace_order=self.interlace_order,
+                                kernel_type=self.kernel_type,
+                                paint_deconv=self.paint_deconv,
+                                lattice_shape=self.paint_lattice,
+                                max_disp=self.max_disp, clip=True)
+                    gxy *= np.prod(np.divide(self.init_shape, self.ptcl_shape))
+                    gxy = chreshape(gxy, r2chshape(self.paint_shape))
+                    return irfftn(gxy)
+
+                gxy_mesh = maybe_ckpt(render_gxy)(pos, vel, dvel, lbe_weights)
 
             elif self.bias_type == "eulerian":
+                pos = displace(pos, vel, dvel)
                 def advect(weights):
                     mesh = nufft(pos, self.init_shape, tuple(self.paint_shape),
                                  weights=weights, paint_order=self.paint_order,
@@ -826,7 +843,8 @@ class FieldLevelModel(Model):
 
         elif self.lik_type == "fourier_gauss":
             assert self.mask_mesh is None, "Fourier likelihood needs a full box."
-            kvec = rfftk(self.final_shape, self.box_size)
+            from montecosmo_tpu.ops.fourier import lazy_kvec
+            kvec = lazy_kvec(rfftk(self.final_shape, self.box_size), count_mesh)
             kmesh = sum(ki**2 for ki in kvec) ** 0.5
             mumesh = safe_div(sum(ki * li for ki, li in zip(kvec, self.los_fid)), kmesh)
 
@@ -1129,27 +1147,31 @@ class FieldLevelModel(Model):
             dic[name + "_"] = samp
         return dic
 
-    def _precond_scale_and_transfer(self):
+    def _precond_scale_and_transfer(self, like=None):
         """Per-mode sampling scale and transfer for the white-field latent.
 
         precond 'kaiser': scale = (1 + boost^2 P / sigma_noise^2)^1/2 from the
         fiducial Kaiser SNR; transfer renormalizes to unit-power white noise.
+        `like`: tracer the init_shape-sized meshes are tied to (lazy_kvec).
         """
+        one = (1.0 if like is None
+               else 1.0 + jnp.ravel(lax.stop_gradient(like))[0] * 0)
         if self.precond in ("real", "fourier"):
             # unit sampling scale per real dof; transfer only renormalizes to
             # unit-power white noise.  (The reference applies its Hermitian
             # amp-repack to a REAL-shaped ones array here, which only works
             # because it never runs precond != 'kaiser'.)
-            scale = jnp.ones(self.init_shape)
+            scale = jnp.broadcast_to(one, tuple(self.init_shape))
             transfer = np.prod(np.divide(self.init_shape, self.box_size)) ** 0.5
             return scale, jnp.asarray(transfer)
         if self.precond == "kaiser":
             b1E_fid = b1_L2E(float(np.mean(self.fiduc["b1"])))
             boost_fid = kaiser_boost(self.cosmo_fid, self.a_fid, self.init_shape,
                                      self.box_size, b1E_fid, los=self.los_fid,
-                                     bg=self.bg_fid)
+                                     bg=self.bg_fid, like=like)
             pmesh_fid = lin_power_mesh(self.cosmo_fid, self.init_shape,
-                                       self.box_size, kpow=self.lin_kpow)
+                                       self.box_size, kpow=self.lin_kpow,
+                                       like=like)
             pmesh_fid = pmesh_fid * np.prod(np.divide(self.init_shape, self.box_size))
             var_fid = float(np.mean(self.fiduc["s_e"])) / (self.count_fid * self.selec_fid)
             scale = (1 + boost_fid**2 / var_fid * pmesh_fid) ** 0.5

@@ -101,14 +101,35 @@ def fftk(shape, box_size=None, dtype=np.float32):
     return kvec
 
 
+def lazy_kvec(kvec, like):
+    """Tie broadcast-shaped wavevectors to tracer `like` so downstream
+    kernel algebra (sums/products over axes) stages ON DEVICE.
+
+    Without this, kernels like 1/k^2 or sinc^n window deconvolutions are
+    computed eagerly at trace time and baked into the serialized program as
+    full (N, N, N/2+1) literals — the remote-TPU compile service rejects
+    such programs (HTTP 413) from ~192^3 final meshes, and they bloat every
+    big compile.  Tying each 1-D factor to a traced zero keeps the
+    serialized constants 1-D; XLA materializes (and fuses) the N^3 kernel
+    on device.
+    """
+    import jax
+
+    # stop_gradient: the tie is structural only — without it, kernels like
+    # sqrt(sum ki^2) would get an inf * 0 = NaN cotangent at the zero mode
+    z = jnp.real(jnp.ravel(jax.lax.stop_gradient(like))[0]) * 0
+    return tuple(jnp.asarray(ki) + z.astype(jnp.asarray(ki).dtype)
+                 for ki in kvec)
+
+
 # --------------------------------------------------------------------- filter kernels
 def invlaplace_hat(kvec, fd_order=np.inf):
     """Fourier transform of the inverse Laplacian, -1/k^2 (or its finite
     difference counterpart for fd_order 2/4).  Zero mode maps to zero."""
     if fd_order == 2:
-        kk = sum(2 * (np.cos(ki) - 1) for ki in kvec)
+        kk = sum(2 * (jnp.cos(ki) - 1) for ki in kvec)
     elif fd_order == 4:
-        kk = sum((np.cos(2 * ki) - 16 * np.cos(ki) + 15) / 6 for ki in kvec)
+        kk = sum((jnp.cos(2 * ki) - 16 * jnp.cos(ki) + 15) / 6 for ki in kvec)
     elif fd_order == np.inf:
         kk = sum(ki**2 for ki in kvec)
     else:
@@ -121,9 +142,9 @@ def gradient_hat(kvec, direction: int, fd_order=np.inf):
     finite-difference counterpart for fd_order 2/4)."""
     ki = kvec[direction]
     if fd_order == 2:
-        ki = np.sin(ki)
+        ki = jnp.sin(ki)
     elif fd_order == 4:
-        ki = (8 * np.sin(ki) - np.sin(2 * ki)) / 6
+        ki = (8 * jnp.sin(ki) - jnp.sin(2 * ki)) / 6
     elif fd_order != np.inf:
         raise ValueError("fd_order must be 2, 4, or inf.")
     return 1j * ki
@@ -135,7 +156,7 @@ def gaussian_hat(kvec, kcut=np.inf):
         return 1.0
     kk = sum(ki**2 for ki in kvec)
     rcut = 2 * np.pi / kcut
-    return np.exp(-kk * rcut**2 / 2)
+    return jnp.exp(-kk * rcut**2 / 2)
 
 
 def top_hat(kvec, kcut=np.inf):
@@ -178,7 +199,7 @@ def bspline_hat(kvec, order: int = 2):
     """Fourier transform of the order-n B-spline window: prod_i sinc(k_i/2pi)^n."""
     out = 1.0
     for ki in kvec:
-        out = out * np.sinc(ki / (2 * np.pi))**order
+        out = out * jnp.sinc(ki / (2 * np.pi))**order
     return out
 
 
@@ -231,7 +252,7 @@ def deconv_paint(mesh, order: int = 2, kernel_type="rectangular", oversamp=1.0):
     from montecosmo_tpu.ops.hermitian import ch2rshape
 
     if jnp.isrealobj(mesh):
-        kvec = rfftk(mesh.shape)
+        kvec = lazy_kvec(rfftk(mesh.shape), mesh)
         return irfftn(rfftn(mesh) / window_hat(kvec, order, kernel_type, oversamp))
-    kvec = rfftk(ch2rshape(mesh.shape))
+    kvec = lazy_kvec(rfftk(ch2rshape(mesh.shape)), mesh)
     return mesh / window_hat(kvec, order, kernel_type, oversamp)

@@ -27,7 +27,7 @@ from jax import lax, numpy as jnp
 
 from montecosmo_tpu.ops.fourier import (
     irfftn, rfftn,
-    bspline, kaiser_bessel, optim_kcut, rfftk, window_hat,
+    bspline, kaiser_bessel, lazy_kvec, optim_kcut, rfftk, window_hat,
 )
 from montecosmo_tpu.ops.hermitian import chreshape, r2chshape, scale_shape
 
@@ -180,14 +180,19 @@ def interlace(pos, shape: tuple, weights=1.0, paint_order: int = 2,
     `lattice_shape`/`max_disp` pass straight through.
     """
     kvec = rfftk(shape)
-    ksum = sum(kvec)
     shifts = jnp.arange(interlace_order) / interlace_order
 
     def step(carry, shift):
         mesh = paint(pos + shift, shape, weights, paint_order,
                      kernel_type=kernel_type, oversamp=paint_oversamp,
                      lattice_shape=lattice_shape, max_disp=max_disp, clip=clip)
-        carry += rfftn(mesh) * jnp.exp(1j * shift * ksum) / interlace_order
+        # separable phase exp(i s (kx+ky+kz)) = prod_i exp(i s k_i): three
+        # 1-D factors traced against the scanned shift — never an N^3
+        # literal in the serialized program
+        phase = 1.0
+        for ki in kvec:
+            phase = phase * jnp.exp(1j * shift * ki)
+        carry += rfftn(mesh) * phase / interlace_order
         return carry, None
 
     out = jnp.zeros(r2chshape(shape), dtype=jnp.result_type(pos.dtype, jnp.complex64))
@@ -228,7 +233,7 @@ def nufft(pos, final_shape: tuple, paint_shape=None, weights=1.0,
     mesh *= ratio.prod()  # units jacobian: conserve total counts
 
     if paint_deconv:
-        kvec = rfftk(tuple(paint_shape))
+        kvec = lazy_kvec(rfftk(tuple(paint_shape)), mesh)
         mesh /= window_hat(kvec, paint_order, kernel_type, paint_oversamp)
     if tuple(final_shape) != tuple(paint_shape):
         mesh = chreshape(mesh, r2chshape(final_shape))

@@ -23,7 +23,7 @@ from jax import checkpoint as jax_checkpoint, lax, numpy as jnp, tree_util
 from montecosmo_tpu.ops.background import Background, Cosmology, Esqr
 from montecosmo_tpu.ops.fourier import (
     irfftn, rfftn,
-    bspline_hat, gaussian_hat, gradient_hat, invlaplace_hat, rfftk,
+    bspline_hat, gaussian_hat, gradient_hat, invlaplace_hat, lazy_kvec, rfftk,
 )
 from montecosmo_tpu.ops.hermitian import ch2rshape
 from montecosmo_tpu.ops.paint import paint, read, read_multi, read_sites
@@ -45,11 +45,13 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
                                    lattice_shape=lattice_shape,
                                    max_disp=max_disp, clip=True))
         if paint_deconv:
-            kvec = rfftk(mesh_shape)
+            kvec = lazy_kvec(rfftk(mesh_shape), mesh)
             # painted AND read at this order -> deconvolve twice
             mesh /= bspline_hat(kvec, order=read_order) ** 2
 
-    kvec = rfftk(ch2rshape(mesh.shape))
+    # lazy_kvec: the 1/k^2 and window kernels must stage on device, not be
+    # baked as N^3 literals (HTTP 413 on the remote compiler at >= 192^3)
+    kvec = lazy_kvec(rfftk(ch2rshape(mesh.shape)), mesh)
     pot = mesh * invlaplace_hat(kvec, lap_fd)
     if kcut != np.inf:
         pot *= gaussian_hat(kvec, kcut)
@@ -69,7 +71,7 @@ def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
                sites_shape=None):
     """2LPT source-term forces: delta2 = sum_i<j (h_ii h_jj - h_ij^2) of the
     potential Hessian (6 FFTs), then Poisson forces of delta2 (1 + 3 FFTs)."""
-    kvec = rfftk(ch2rshape(mesh.shape))
+    kvec = lazy_kvec(rfftk(ch2rshape(mesh.shape)), mesh)
     pot = mesh * invlaplace_hat(kvec, lap_fd)
 
     delta2 = 0.0

@@ -127,12 +127,17 @@ def lin_power_interp(cosmo: Cosmology, a=1.0, kpow=None, n_interp=256, bg=None):
 
 
 def lin_power_mesh(cosmo: Cosmology, mesh_shape: tuple, box_size, a=1.0,
-                   kpow=None, n_interp=256, bg=None):
+                   kpow=None, n_interp=256, bg=None, like=None):
     """Linear matter power spectrum evaluated on the rfft wavenumber mesh
-    (physical units [(Mpc/h)^3])."""
-    from montecosmo_tpu.ops.fourier import rfftk
+    (physical units [(Mpc/h)^3]).
+
+    `like`: optional tracer to tie the k mesh to (fourier.lazy_kvec) so the
+    N^3 power mesh stages on device instead of becoming a program literal."""
+    from montecosmo_tpu.ops.fourier import lazy_kvec, rfftk
 
     pow_fn = lin_power_interp(cosmo, a=a, kpow=kpow, n_interp=n_interp, bg=bg)
     kvec = rfftk(mesh_shape, box_size)
+    if like is not None:
+        kvec = lazy_kvec(kvec, like)
     kmesh = sum(ki**2 for ki in kvec) ** 0.5
     return pow_fn(kmesh)
