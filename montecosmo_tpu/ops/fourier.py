@@ -101,7 +101,7 @@ def fftk(shape, box_size=None, dtype=np.float32):
     return kvec
 
 
-def lazy_kvec(kvec, like):
+def lazy_kvec(kvec, like, min_size=8_000_000):
     """Tie broadcast-shaped wavevectors to tracer `like` so downstream
     kernel algebra (sums/products over axes) stages ON DEVICE.
 
@@ -112,9 +112,17 @@ def lazy_kvec(kvec, like):
     big compile.  Tying each 1-D factor to a traced zero keeps the
     serialized constants 1-D; XLA materializes (and fuses) the N^3 kernel
     on device.
+
+    Size-gated: below `min_size` broadcast elements the kernels stay eager
+    compile-time constants — recomputing them per evaluation costs ~15% at
+    224^3 (measured, bench.py 128), while the literals are still well under
+    the upload cap there.
     """
     import jax
 
+    nelem = int(np.prod([max(np.shape(ki)) for ki in kvec]))
+    if nelem < min_size:
+        return kvec
     # stop_gradient: the tie is structural only — without it, kernels like
     # sqrt(sum ki^2) would get an inf * 0 = NaN cotangent at the zero mode
     z = jnp.real(jnp.ravel(jax.lax.stop_gradient(like))[0]) * 0

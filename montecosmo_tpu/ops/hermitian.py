@@ -239,15 +239,17 @@ def rg2cgh(mesh, norm="backward"):
     re = jnp.concatenate([p0_r[:, :, None], bulk_r, pH_r[:, :, None]], 2)
     im = jnp.concatenate([p0_i[:, :, None], bulk_i, pH_i[:, :, None]], 2)
 
+    from montecosmo_tpu.parallel.context import constrain_mesh
+
     if amp:
         # RMS of the source pair; the zero imag at self-conjugate points is
         # treated as sharing the real amplitude (reference 'amp' semantics)
         im_amp = jnp.where(im == 0, re, im)
-        return ((re**2 + im_amp**2) / 2) ** 0.5
+        return constrain_mesh(((re**2 + im_amp**2) / 2) ** 0.5, "pencil")
     w = _base_weight(shape, norm)
     # lax.complex rather than 1j-multiply: the eager 1j promotion hits an
     # unimplemented convert_element_type on the TPU runtime
-    return jax.lax.complex(re * w, im * w)
+    return constrain_mesh(jax.lax.complex(re * w, im * w), "pencil")
 
 
 def _unpack_line(re, im, Hx, corner_scale):
@@ -292,8 +294,10 @@ def cgh2rg(meshk, norm="backward"):
     p0 = _unpack_plane(re[:, :, 0], im[:, :, 0], corner_scale)
     pH = _unpack_plane(re[:, :, Hz], im[:, :, Hz], corner_scale)
     # reassemble z order: [plane0, bulk_re(1..Hz-1), planeH, bulk_im(Hz+1..)]
-    return jnp.concatenate([p0[:, :, None], re[:, :, 1:Hz], pH[:, :, None],
-                            im[:, :, 1:Hz]], 2)
+    from montecosmo_tpu.parallel.context import constrain_mesh
+    return constrain_mesh(
+        jnp.concatenate([p0[:, :, None], re[:, :, 1:Hz], pH[:, :, None],
+                         im[:, :, 1:Hz]], 2), "slab")
 
 
 # ----------------------------------------------------------------------- resampling
@@ -377,7 +381,8 @@ def chreshape(mesh, shape):
             out = out.at[(slice(None),) * ax + (pos,)].set(
                 jnp.take(out, neg, axis=ax))
 
-    return out * scale
+    from montecosmo_tpu.parallel.context import constrain_mesh
+    return constrain_mesh(out * scale, "pencil")
 
 
 def boxreshape(mesh, shape):

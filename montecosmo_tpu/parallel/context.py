@@ -40,3 +40,31 @@ def mesh_context(mesh, axis_name="mesh"):
 def current_mesh_context():
     """(mesh, axis_name) when a mesh context is active, else None."""
     return _ACTIVE.get()
+
+
+def constrain_mesh(x, layout="slab"):
+    """`with_sharding_constraint` a 3-D mesh to the context's decomposition
+    (no-op outside a context or on non-dividing shapes).
+
+    layout 'slab'  : X-sharded real mesh, P(ax, None, None) — the pencil
+                     islands' real-space layout;
+           'pencil': Y-sharded rfft mesh, P(None, ax, None) — their Fourier
+                     layout.
+    GSPMD left alone replicates the repack/resample segments between FFT
+    islands (measured: full-size 448^3 rfft meshes on every device at 256^3
+    — BENCH_NOTES round 3); pinning the segment endpoints makes it partition
+    them.
+    """
+    ctx = _ACTIVE.get()
+    if ctx is None or getattr(x, "ndim", 0) != 3:
+        return x
+    mesh, ax = ctx
+    n_dev = mesh.shape[ax]
+    dim = 0 if layout == "slab" else 1
+    if n_dev <= 1 or x.shape[dim] % n_dev:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(ax, None, None) if layout == "slab" else P(None, ax, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -19,6 +19,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/memprobe_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import numpy as np  # noqa: E402
 from jax import random as jr  # noqa: E402
@@ -36,9 +39,14 @@ model = FieldLevelModel(**conf)
 
 params = model.reparam(dict(model.fiduc), inv=True)
 params["white_mesh_"] = jr.normal(jr.key(0), model.init_shape)
-pred = model.predict(seed=1, samples=params, hide_base=False, hide_det=False,
-                     hide_samp=False)
-obs = {"count_mesh": np.asarray(pred["count_mesh"])}
+if final <= 64:
+    pred = model.predict(seed=1, samples=params, hide_base=False,
+                         hide_det=False, hide_samp=False)
+    obs = {"count_mesh": np.asarray(pred["count_mesh"])}
+else:
+    # compile-only probe: any observation array of the right shape does
+    obs = {"count_mesh": np.full(model.final_shape, model.count_fid,
+                                 np.float32)}
 
 
 def probe(n):
