@@ -5,6 +5,7 @@ from montecosmo_tpu.samplers.mclmc import (
 )
 from montecosmo_tpu.samplers.hmc import (
     HMCState, hmc_init, nuts_kernel, hmc_kernel, window_adaptation,
+    find_reasonable_step_size,
     mwg_warmup, mwg_kernel_general, sampling_loop_general,
     nutswg_init, nutswg_run, get_nutswg_run, nutswg_warm, get_nutswg_warm,
     get_init_state,

@@ -374,7 +374,8 @@ def _adaptation_schedule(num_steps, init_buffer=75, term_buffer=50, window=25):
 
 def window_adaptation(kernel_factory, logdensity_fn, num_steps, initial_position,
                       target_acceptance_rate=0.65, initial_step_size=1e-3,
-                      rng_key=None, **kernel_kwargs):
+                      rng_key=None, initial_inverse_mass_matrix=None,
+                      **kernel_kwargs):
     """Warm up step size (dual averaging) and diagonal inverse mass (Welford
     over slow windows) for an HMC/NUTS kernel factory
     `kernel_factory(logdensity_fn, step_size, inverse_mass_matrix, **kw)`.
@@ -385,7 +386,8 @@ def window_adaptation(kernel_factory, logdensity_fn, num_steps, initial_position
     """
     if rng_key is None:
         rng_key = jr.key(0)
-    carry = _wa_carry0(logdensity_fn, initial_position, initial_step_size)
+    carry = _wa_carry0(logdensity_fn, initial_position, initial_step_size,
+                       initial_inverse_mass_matrix)
     x0 = _ravel(carry[0].position)[0]
 
     update_now, in_slow = _adaptation_schedule(num_steps)
@@ -396,15 +398,70 @@ def window_adaptation(kernel_factory, logdensity_fn, num_steps, initial_position
     return _wa_finalize(carry), hist
 
 
-def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3):
-    """Initial window-adaptation carry: (state, dual-avg, invmm, Welford)."""
+def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3,
+               initial_inverse_mass_matrix=None):
+    """Initial window-adaptation carry: (state, dual-avg, invmm, Welford).
+
+    `initial_inverse_mass_matrix` (flat (d,) vector or scalar) seeds the
+    diagonal mass before the first slow-window refresh — e.g. from a tuned
+    MCLMC phase-1 config — instead of the unit default."""
     state = hmc_init(initial_position, logdensity_fn)
     x0 = _ravel(state.position)[0]
     d = x0.shape[0]
     da = _da_init(jnp.asarray(initial_step_size))
-    invmm = jnp.ones(d, x0.dtype)
+    if initial_inverse_mass_matrix is None:
+        invmm = jnp.ones(d, x0.dtype)
+    else:
+        invmm = jnp.broadcast_to(
+            jnp.asarray(initial_inverse_mass_matrix, x0.dtype), (d,))
     welford = (jnp.zeros(()), jnp.zeros(d, x0.dtype), jnp.zeros(d, x0.dtype))
     return (state, da, invmm, welford)
+
+
+def find_reasonable_step_size(logdensity_fn, position, rng_key,
+                              inverse_mass_matrix=1.0, initial_step_size=1.0,
+                              max_iters=30):
+    """Stan's bracketing initializer (Hoffman & Gelman 2014, alg. 4): from
+    `initial_step_size`, double/halve until a single leapfrog step crosses
+    50% acceptance.  O(log eps*) gradient evals; pure and vmappable.
+
+    Starting window adaptation from a fixed 1e-3 makes every early NUTS
+    tree hit max depth (2^max_depth gradient evals per warmup step); a
+    bracketed start costs ~10 evals and removes that regime entirely."""
+    state = hmc_init(position, logdensity_fn)
+    x0, unravel = _ravel(state.position)
+    g0 = _ravel(state.logdensity_grad)[0]
+    invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype),
+                             x0.shape)
+    r0 = jr.normal(rng_key, x0.shape, x0.dtype) / jnp.sqrt(invmm)
+    H0 = -state.logdensity + _kinetic(r0, invmm)
+
+    def log_acc(eps):
+        x, r, g, ld = _leapfrog(x0, r0, g0, logdensity_fn, unravel, eps, invmm)
+        dlog = H0 - (-ld + _kinetic(r, invmm))
+        return jnp.where(jnp.isfinite(dlog), dlog, -jnp.inf)
+
+    log_half = jnp.log(jnp.asarray(0.5, x0.dtype))
+    eps0 = jnp.asarray(initial_step_size, x0.dtype)
+    dlog0 = log_acc(eps0)
+    d0 = jnp.where(dlog0 > log_half, 1.0, -1.0).astype(x0.dtype)
+
+    def cond(carry):
+        eps, dlog, i = carry
+        return (i < max_iters) & (d0 * dlog > d0 * log_half)
+
+    def body(carry):
+        eps, _, i = carry
+        eps = eps * jnp.exp2(d0)
+        return eps, log_acc(eps), i + 1
+
+    eps, _, _ = lax.while_loop(cond, body, (eps0, dlog0,
+                                            jnp.zeros((), jnp.int32)))
+    # the loop stops one step PAST the 50% crossing; when doubling upward the
+    # final eps can sit beyond the leapfrog stability limit (acceptance falls
+    # off a cliff there, not gently) — back off to the last passing eps
+    eps = jnp.where(d0 > 0, 0.5 * eps, eps)
+    return jnp.clip(eps, 1e-8, 1e3)
 
 
 def _wa_chunk(carry, xs, kernel_factory, logdensity_fn,

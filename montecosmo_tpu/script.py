@@ -46,6 +46,42 @@ from montecosmo_tpu.utils.profiling import phase
 MAX_STEPS_PER_CALL = int(os.environ.get("MONTECOSMO_MAX_STEPS_PER_CALL", 128))
 
 
+class _AdaptiveChunks:
+    """Host-level adaptive program sizing for NUTS loops.
+
+    NUTS step cost varies ~100x over a warmup (early max-depth trees vs
+    tuned ~2^3-eval trees), so a fixed steps-per-program either risks the
+    axon ~30-60 s program kill or wastes the tunnel on 4-step programs.
+    This grows/shrinks the chunk size from measured wall time toward
+    `MONTECOSMO_TARGET_SECS_PER_CALL` (default 15 s — 2-4x under the kill
+    threshold), on power-of-two rungs to bound recompiles.  The first run
+    of each distinct size includes its compile and is never used for
+    adaptation.  Chunk boundaries do not change trajectories (the scan
+    carry is exact — tested bit-identical for the segmented warmups).
+    """
+
+    def __init__(self, seg0, cap, target_s=None):
+        self.seg = max(1, int(seg0))
+        self.cap = max(1, int(cap))
+        self.target_s = float(target_s if target_s is not None else
+                              os.environ.get(
+                                  "MONTECOSMO_TARGET_SECS_PER_CALL", 15))
+        self._timed = set()
+
+    def next(self, remaining):
+        return min(self.seg, int(remaining))
+
+    def update(self, seg_i, elapsed):
+        if seg_i not in self._timed:
+            self._timed.add(seg_i)  # first run of a size includes compile
+            return
+        per_step = max(elapsed / seg_i, 1e-9)
+        want = self.target_s / per_step
+        want = min(want, 8.0 * self.seg)  # bound jumps against timing flukes
+        rung = 2 ** int(np.floor(np.log2(max(want, 1.0))))
+        self.seg = int(min(max(rung, 1), self.cap))
+
+
 def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
                       n_chains, key, pos):
     """MCLMC warmup chunked into <= MAX_STEPS_PER_CALL-step device programs.
@@ -162,15 +198,26 @@ def _nuts_blocks(names):
 
 
 def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
-                           initial_step_size=1e-3, target=0.8):
+                           initial_step_size=None, target=0.8,
+                           initial_inverse_mass_matrix=None):
     """Blocked NUTS window adaptation (Stan fast/slow/fast schedule), chunked
     into short device programs along the precomputed schedule.
+
+    `initial_step_size=None` (default) brackets a per-chain starting step size
+    with `find_reasonable_step_size` (~10 gradient evals) instead of starting
+    dual averaging blind at 1e-3 — a blind cold start makes every early tree
+    hit max depth (2^max_depth evals/step), which dominated warmup wall time.
+    `initial_inverse_mass_matrix` optionally seeds per-block diagonal masses
+    (dict block name -> flat (d,) or (n_chains, d) vector), e.g. from the
+    MCLMC phase-1 chain spread.  Device programs are sized adaptively from
+    measured wall time (`_AdaptiveChunks`) under the axon program-kill limit.
 
     Returns (state: {block: HMCState} batched over chains,
              config: {block: {step_size, inverse_mass_matrix}},
              n_evals: total integration steps)."""
     from montecosmo_tpu.samplers.hmc import (
-        _adaptation_schedule, _wa_carry0, _wa_chunk, _wa_finalize, nuts_kernel,
+        _adaptation_schedule, _wa_carry0, _wa_chunk, _wa_finalize,
+        find_reasonable_step_size, nuts_kernel,
     )
 
     blocks = _nuts_blocks(list(pos))
@@ -185,13 +232,33 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
     state, config = {}, {}
     others = dict(pos)  # running per-chain values of the not-yet-warmed blocks
     n_evals = 0.0
-    for name, keys in blocks.items():
+    for i_block, (name, keys) in enumerate(blocks.items()):
         p_block = {k: others[k] for k in blocks[name]}
         rest = {k: v for k, v in others.items() if k not in blocks[name]}
 
-        def carry0(p, other):
-            return _wa_carry0(lambda v: logpdf({**other, **v}), p,
-                              initial_step_size)
+        invmm0 = (initial_inverse_mass_matrix or {}).get(name)
+        if invmm0 is None:
+            invmm0 = jnp.ones((n_chains,))
+        else:
+            invmm0 = jnp.asarray(invmm0)
+            if invmm0.ndim <= 1:  # shared across chains
+                invmm0 = jnp.broadcast_to(invmm0, (n_chains, *invmm0.shape))
+
+        if initial_step_size is None:
+            def bracket(p, other, k, im):
+                return find_reasonable_step_size(
+                    lambda v: logpdf({**other, **v}), p, k,
+                    inverse_mass_matrix=im)
+            eps_keys = jr.split(jr.fold_in(key, 1000 + i_block), n_chains)
+            eps0 = jit(vmap(bracket))(p_block, rest, eps_keys, invmm0)
+            n_evals += 12.0 * n_chains  # bracket cost (<= max_iters+2 evals)
+            print(f"  nuts warmup [{name}] bracketed step size: "
+                  f"{np.asarray(eps0).round(5)}", flush=True)
+        else:
+            eps0 = jnp.broadcast_to(jnp.asarray(initial_step_size), (n_chains,))
+
+        def carry0(p, other, eps, im):
+            return _wa_carry0(lambda v: logpdf({**other, **v}), p, eps, im)
 
         def chunk(carry, xs, other):
             return _wa_chunk(carry, xs, nuts_kernel,
@@ -200,19 +267,26 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
 
         import time as _time
 
-        carry = jit(vmap(carry0))(p_block, rest)
+        carry = jit(vmap(carry0))(p_block, rest, eps0, invmm0)
         chunk_jit = jit(vmap(chunk))  # hoisted: one compile per segment size
+        chunks = _AdaptiveChunks(max(1, MAX_STEPS_PER_CALL // 32),
+                                 cap=max(MAX_STEPS_PER_CALL, 1))
         i = 0
-        for seg in _segments(n_steps, max(1, MAX_STEPS_PER_CALL // 32)):
+        while i < n_steps:
+            seg = chunks.next(n_steps - i)
             _t0 = _time.time()
             xs = (block_keys[name][:, i:i + seg],
                   jnp.broadcast_to(update_now[i:i + seg], (n_chains, seg)),
                   jnp.broadcast_to(in_slow[i:i + seg], (n_chains, seg)))
             carry, hist = chunk_jit(carry, xs, rest)
+            # the float() transfer forces execution (axon dispatch is lazy
+            # until the first device->host transfer) — the timing is honest
             n_evals += float(jnp.sum(hist["num_integration_steps"]))
+            _dt = _time.time() - _t0
             i += seg
+            chunks.update(seg, _dt)
             print(f"  nuts warmup [{name}] {i}/{n_steps} "
-                  f"({_time.time() - _t0:.1f}s)", flush=True)
+                  f"({_dt:.1f}s, next chunk {chunks.seg})", flush=True)
         state[name], config[name] = jit(vmap(_wa_finalize))(carry)
         others = {**others, **state[name].position}
 
@@ -325,9 +399,28 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
         print("Full warmup params:", list(params_warm))
 
         if sampler == "nuts":
+            # seed the mesh-block mass from the MCLMC phase-1 chain spread:
+            # the per-dim cross-chain variance of approximately-stationary
+            # draws is a (noisy) posterior-variance estimate, refreshed by
+            # the first slow window anyway — but it spares the first fast
+            # window from unit-mass trees on a field whose posterior scales
+            # are far from 1 (data-constrained modes have std << 1).
+            seed_invmm = None
+            if state_field is not None and "white_mesh" not in model.data \
+                    and n_chains > 1:
+                mesh_keys = sorted(k for k in state_field.position
+                                   if k.endswith("mesh_"))
+                if mesh_keys:
+                    x = jit(vmap(lambda p: jax.flatten_util.ravel_pytree(p)[0])
+                            )({k: state_field.position[k] for k in mesh_keys})
+                    var = jnp.var(x, axis=0)
+                    nc = float(n_chains)  # Stan-style shrinkage for few chains
+                    seed_invmm = {"mesh_": var * nc / (nc + 5.0)
+                                  + 1e-3 * 5.0 / (nc + 5.0)}
             with phase("full_warmup"):
                 state, config, n_evals = _segmented_nuts_warmup(
-                    model.logpdf, n_steps, n_chains, jr.key(seed), params_warm)
+                    model.logpdf, n_steps, n_chains, jr.key(seed), params_warm,
+                    initial_inverse_mass_matrix=seed_invmm)
             print(f"\nNUTS warmup n_evals: {n_evals:.3g}")
             for name, conf in config.items():
                 ss = jnp.median(conf["step_size"])
@@ -454,14 +547,31 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
             _runners[seg] = _make_runner(seg)
         return _runners[seg](run_key, state)
 
+    # NUTS sweep cost varies with tree depth: size programs adaptively from
+    # measured wall time (shared across runs, so later runs start tuned)
+    sizer = _AdaptiveChunks(max_samp, cap=max(MAX_STEPS_PER_CALL, 1)) \
+        if sampler == "nuts" else None
+
+    import time as _time
+
     for i_run in range(start, n_runs + 1):
         print(f"run {i_run}/{n_runs}")
         key, run_key = jr.split(key, 2)
         with phase("full_run"):
             chunks = []
-            for seg in _segments(n_samples, max_samp):
+            i = 0
+            while i < n_samples:
+                seg = sizer.next(n_samples - i) if sizer \
+                    else min(max_samp, n_samples - i)
                 run_key, k = jr.split(run_key)
+                _t0 = _time.time()
                 state, part = run_segment(k, state, seg)
+                if sizer:
+                    # the float() transfer forces execution (lazy axon
+                    # dispatch) so the timing is honest
+                    float(jnp.sum(part["n_evals"]))
+                    sizer.update(seg, _time.time() - _t0)
+                i += seg
                 chunks.append(part)
             samples = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=1), *chunks) \

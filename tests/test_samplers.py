@@ -197,3 +197,107 @@ def test_nuts_depth_cap_env(monkeypatch):
     kernel10 = nuts_kernel(logdf_gauss, step_size=1e-4)
     _, info10 = jax.jit(kernel10)(jr.key(0), state)
     assert int(info10["num_integration_steps"]) > 2**2 * 2
+
+def test_find_reasonable_step_size():
+    """Stan's bracketing initializer lands where one leapfrog step has
+    ~50% acceptance, from both directions (hmc.py)."""
+    from montecosmo_tpu.samplers import find_reasonable_step_size
+    from montecosmo_tpu.samplers.hmc import (
+        _kinetic, _leapfrog, _ravel, hmc_init)
+
+    for eps_init in (100.0, 1e-6):
+        eps = float(jax.jit(
+            lambda k: find_reasonable_step_size(
+                logdf_gauss, init_pos(), k, initial_step_size=eps_init)
+        )(jr.key(7)))
+        assert 1e-3 < eps < 50.0, (eps_init, eps)
+
+    # the bracketed step gives a reasonable single-step acceptance
+    eps = float(jax.jit(
+        lambda k: find_reasonable_step_size(logdf_gauss, init_pos(), k)
+    )(jr.key(7)))
+    state = hmc_init(init_pos(), logdf_gauss)
+    x0, unravel = _ravel(state.position)
+    g0 = _ravel(state.logdensity_grad)[0]
+    invmm = jnp.ones_like(x0)
+    r0 = jr.normal(jr.key(7), x0.shape)  # same key as the bracket momentum
+    h0 = -state.logdensity + _kinetic(r0, invmm)
+    _, r1, _, ld1 = jax.jit(lambda: _leapfrog(
+        x0, r0, g0, logdf_gauss, unravel, eps, invmm))()
+    acc = float(jnp.exp(jnp.minimum(0.0, h0 - (-ld1 + _kinetic(r1, invmm)))))
+    assert 0.2 < acc <= 1.0, (eps, acc)
+
+
+def test_wa_invmm_seed():
+    """window_adaptation(initial_inverse_mass_matrix=...) seeds the diagonal
+    mass; with no slow window (num_steps < 20) it survives to the params."""
+    seed = np.asarray(SCALES) ** 2
+    (state, params), _ = window_adaptation(
+        nuts_kernel, logdf_gauss, num_steps=10, initial_position=init_pos(),
+        rng_key=jr.key(4), initial_inverse_mass_matrix=jnp.asarray(seed))
+    np.testing.assert_allclose(np.asarray(params["inverse_mass_matrix"]),
+                               seed, rtol=1e-6)
+
+
+def test_adaptive_chunks():
+    """Host-level adaptive program sizing (script._AdaptiveChunks): first run
+    of a size is compile-laden and ignored; sizes move toward the wall-time
+    target on power-of-two rungs, bounded by the cap."""
+    from montecosmo_tpu.script import _AdaptiveChunks
+
+    ch = _AdaptiveChunks(4, cap=256, target_s=16.0)
+    assert ch.next(1000) == 4
+    ch.update(4, 100.0)          # first run of size 4: compile, ignored
+    assert ch.seg == 4
+    ch.update(4, 1.0)            # 0.25 s/step -> want 64, jump bounded to 8x
+    assert ch.seg == 32
+    ch.update(32, 8.0)           # first run of size 32: compile, ignored
+    assert ch.seg == 32
+    ch.update(32, 8.0)           # 0.25 s/step -> 64
+    assert ch.seg == 64
+    ch.update(64, 16.0)          # first run of 64: ignored
+    ch.update(64, 16.0)          # on target: stay
+    assert ch.seg == 64
+    ch.update(64, 0.125)         # absurdly fast: cap respected
+    assert ch.seg == 256
+    assert ch.next(3) == 3       # remaining bound
+
+    ch2 = _AdaptiveChunks(32, cap=256, target_s=16.0)
+    ch2.update(32, 5.0)          # compile run
+    ch2.update(32, 160.0)        # 5 s/step -> shrink toward 2-4 steps
+    assert ch2.seg <= 4
+
+
+def test_segmented_nuts_warmup_bracket_and_seed():
+    """Bracketed initial step + seeded mass: the warmup spends far fewer
+    gradient evals than a blind 1e-3 cold start and still tunes correctly."""
+    import montecosmo_tpu.script as script
+
+    def logdf(params):
+        z = params["white_mesh_"] / 0.1   # field block, posterior std 0.1
+        return -0.5 * jnp.sum(z ** 2) - 0.5 * jnp.sum(params["b1_"] ** 2)
+
+    n_chains, n_steps = 2, 60
+    pos = {"white_mesh_": 0.1 * jr.normal(jr.key(0), (n_chains, 12)),
+           "b1_": jr.normal(jr.key(1), (n_chains, 2))}
+
+    old = script.MAX_STEPS_PER_CALL
+    script.MAX_STEPS_PER_CALL = 64
+    try:
+        state, config, n_ev = script._segmented_nuts_warmup(
+            logdf, n_steps, n_chains, jr.key(2), pos,
+            initial_inverse_mass_matrix={"mesh_": 0.01 * jnp.ones(12)})
+        _, _, n_ev_blind = script._segmented_nuts_warmup(
+            logdf, n_steps, n_chains, jr.key(2), pos,
+            initial_step_size=1e-3)
+    finally:
+        script.MAX_STEPS_PER_CALL = old
+
+    assert set(state) == {"mesh_", "rest_"}
+    for name in state:
+        ss = np.asarray(config[name]["step_size"])
+        assert np.all(ss > 1e-3), (name, ss)
+        assert np.isfinite(np.asarray(
+            state[name].logdensity)).all()
+    # the cold start burns max-depth trees until dual averaging recovers
+    assert n_ev < 0.6 * n_ev_blind, (n_ev, n_ev_blind)
