@@ -418,6 +418,60 @@ def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3,
     return (state, da, invmm, welford)
 
 
+def bracket_init(logdensity_fn, position, rng_key,
+                 inverse_mass_matrix=1.0, initial_step_size=1.0):
+    """First leg of Stan's step-size bracketing, split out so the search can
+    run as HOST-chunked device programs (one `bracket_iter` = one leapfrog
+    eval ~ one short program, vs a whole `while_loop` in one program that
+    trips the axon 30-60 s execution kill on expensive models).  Returns a
+    pure-array carry dict; iterate with `bracket_iter` while `carry['more']`
+    holds anywhere, then read the result off `bracket_final`."""
+    state = hmc_init(position, logdensity_fn)
+    x0, unravel = _ravel(state.position)
+    g0 = _ravel(state.logdensity_grad)[0]
+    invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype),
+                             x0.shape)
+    r0 = jr.normal(rng_key, x0.shape, x0.dtype) / jnp.sqrt(invmm)
+    H0 = -state.logdensity + _kinetic(r0, invmm)
+    eps0 = jnp.asarray(initial_step_size, x0.dtype)
+    carry = dict(x0=x0, r0=r0, g0=g0, H0=H0, invmm=invmm, eps=eps0,
+                 dlog=jnp.zeros((), x0.dtype), d0=jnp.ones((), x0.dtype))
+    dlog0 = _bracket_logacc(logdensity_fn, unravel, carry, eps0)
+    log_half = jnp.log(jnp.asarray(0.5, x0.dtype))
+    d0 = jnp.where(dlog0 > log_half, 1.0, -1.0).astype(x0.dtype)
+    return {**carry, "dlog": dlog0, "d0": d0,
+            "more": d0 * dlog0 > d0 * log_half}
+
+
+def _bracket_logacc(logdensity_fn, unravel, carry, eps):
+    x, r, g, ld = _leapfrog(carry["x0"], carry["r0"], carry["g0"],
+                            logdensity_fn, unravel, eps, carry["invmm"])
+    dlog = carry["H0"] - (-ld + _kinetic(r, carry["invmm"]))
+    return jnp.where(jnp.isfinite(dlog), dlog, -jnp.inf)
+
+
+def bracket_iter(logdensity_fn, position_like, carry):
+    """One doubling/halving step of the bracket search (one gradient eval).
+    `position_like` supplies the pytree structure for unraveling."""
+    unravel = _ravel(position_like)[1]
+    log_half = jnp.log(jnp.asarray(0.5, carry["eps"].dtype))
+    eps = jnp.where(carry["more"], carry["eps"] * jnp.exp2(carry["d0"]),
+                    carry["eps"])
+    dlog = jnp.where(carry["more"],
+                     _bracket_logacc(logdensity_fn, unravel, carry, eps),
+                     carry["dlog"])
+    more = carry["more"] & (carry["d0"] * dlog > carry["d0"] * log_half)
+    return {**carry, "eps": eps, "dlog": dlog, "more": more}
+
+
+def bracket_final(carry):
+    # the search stops one step PAST the 50% crossing; when doubling upward
+    # the final eps can sit beyond the leapfrog stability limit (acceptance
+    # falls off a cliff there, not gently) — back off to the last passing eps
+    eps = jnp.where(carry["d0"] > 0, 0.5 * carry["eps"], carry["eps"])
+    return jnp.clip(eps, 1e-8, 1e3)
+
+
 def find_reasonable_step_size(logdensity_fn, position, rng_key,
                               inverse_mass_matrix=1.0, initial_step_size=1.0,
                               max_iters=30):
@@ -427,41 +481,21 @@ def find_reasonable_step_size(logdensity_fn, position, rng_key,
 
     Starting window adaptation from a fixed 1e-3 makes every early NUTS
     tree hit max depth (2^max_depth gradient evals per warmup step); a
-    bracketed start costs ~10 evals and removes that regime entirely."""
-    state = hmc_init(position, logdensity_fn)
-    x0, unravel = _ravel(state.position)
-    g0 = _ravel(state.logdensity_grad)[0]
-    invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype),
-                             x0.shape)
-    r0 = jr.normal(rng_key, x0.shape, x0.dtype) / jnp.sqrt(invmm)
-    H0 = -state.logdensity + _kinetic(r0, invmm)
+    bracketed start costs ~10 evals and removes that regime entirely.
+    (Single-program form of the bracket_init/iter/final trio above.)"""
+    carry0 = bracket_init(logdensity_fn, position, rng_key,
+                          inverse_mass_matrix, initial_step_size)
 
-    def log_acc(eps):
-        x, r, g, ld = _leapfrog(x0, r0, g0, logdensity_fn, unravel, eps, invmm)
-        dlog = H0 - (-ld + _kinetic(r, invmm))
-        return jnp.where(jnp.isfinite(dlog), dlog, -jnp.inf)
+    def cond(ci):
+        carry, i = ci
+        return (i < max_iters) & carry["more"]
 
-    log_half = jnp.log(jnp.asarray(0.5, x0.dtype))
-    eps0 = jnp.asarray(initial_step_size, x0.dtype)
-    dlog0 = log_acc(eps0)
-    d0 = jnp.where(dlog0 > log_half, 1.0, -1.0).astype(x0.dtype)
+    def body(ci):
+        carry, i = ci
+        return bracket_iter(logdensity_fn, position, carry), i + 1
 
-    def cond(carry):
-        eps, dlog, i = carry
-        return (i < max_iters) & (d0 * dlog > d0 * log_half)
-
-    def body(carry):
-        eps, _, i = carry
-        eps = eps * jnp.exp2(d0)
-        return eps, log_acc(eps), i + 1
-
-    eps, _, _ = lax.while_loop(cond, body, (eps0, dlog0,
-                                            jnp.zeros((), jnp.int32)))
-    # the loop stops one step PAST the 50% crossing; when doubling upward the
-    # final eps can sit beyond the leapfrog stability limit (acceptance falls
-    # off a cliff there, not gently) — back off to the last passing eps
-    eps = jnp.where(d0 > 0, 0.5 * eps, eps)
-    return jnp.clip(eps, 1e-8, 1e3)
+    carry, _ = lax.while_loop(cond, body, (carry0, jnp.zeros((), jnp.int32)))
+    return bracket_final(carry)
 
 
 def _wa_chunk(carry, xs, kernel_factory, logdensity_fn,

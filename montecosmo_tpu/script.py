@@ -245,13 +245,40 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                 invmm0 = jnp.broadcast_to(invmm0, (n_chains, *invmm0.shape))
 
         if initial_step_size is None:
-            def bracket(p, other, k, im):
-                return find_reasonable_step_size(
-                    lambda v: logpdf({**other, **v}), p, k,
-                    inverse_mass_matrix=im)
             eps_keys = jr.split(jr.fold_in(key, 1000 + i_block), n_chains)
-            eps0 = jit(vmap(bracket))(p_block, rest, eps_keys, invmm0)
-            n_evals += 12.0 * n_chains  # bracket cost (<= max_iters+2 evals)
+            if MAX_STEPS_PER_CALL:
+                # host-chunked search: one gradient eval per device program
+                # (a whole bracket in one program runs minutes on expensive
+                # models and trips the axon 30-60 s execution kill)
+                from montecosmo_tpu.samplers.hmc import (
+                    bracket_final, bracket_init, bracket_iter,
+                )
+
+                def br_init(p, other, k, im):
+                    return bracket_init(lambda v: logpdf({**other, **v}),
+                                        p, k, inverse_mass_matrix=im)
+
+                def br_iter(p, other, carry):
+                    return bracket_iter(lambda v: logpdf({**other, **v}),
+                                        p, carry)
+
+                carry_b = jit(vmap(br_init))(p_block, rest, eps_keys, invmm0)
+                iter_jit = jit(vmap(br_iter))
+                n_evals += 2.0 * n_chains  # init + first probe
+                for _ in range(30):  # max_iters
+                    more = np.asarray(carry_b["more"])  # forces execution
+                    if not more.any():
+                        break
+                    carry_b = iter_jit(p_block, rest, carry_b)
+                    n_evals += float(more.sum())
+                eps0 = jit(vmap(bracket_final))(carry_b)
+            else:
+                def bracket(p, other, k, im):
+                    return find_reasonable_step_size(
+                        lambda v: logpdf({**other, **v}), p, k,
+                        inverse_mass_matrix=im)
+                eps0 = jit(vmap(bracket))(p_block, rest, eps_keys, invmm0)
+                n_evals += 12.0 * n_chains  # bracket cost (<= max_iters+2)
             print(f"  nuts warmup [{name}] bracketed step size: "
                   f"{np.asarray(eps0).round(5)}", flush=True)
         else:
@@ -566,25 +593,25 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
                 run_key, k = jr.split(run_key)
                 _t0 = _time.time()
                 state, part = run_segment(k, state, seg)
+                # transfer every chunk to host immediately: forces execution
+                # (honest timing under lazy axon dispatch), bounds the loss to
+                # one chunk if the TPU worker dies, and keeps the final
+                # concatenation off the device
+                part = jax.tree.map(_to_savable, part)
                 if sizer:
-                    # the float() transfer forces execution (lazy axon
-                    # dispatch) so the timing is honest
-                    float(jnp.sum(part["n_evals"]))
                     sizer.update(seg, _time.time() - _t0)
                 i += seg
                 chunks.append(part)
             samples = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=1), *chunks) \
+                lambda *xs: np.concatenate(xs, axis=1), *chunks) \
                 if len(chunks) > 1 else chunks[0]
 
         if "mse_per_dim" in samples:
-            print("MSE per dim:",
-                  np.asarray(jnp.mean(samples["mse_per_dim"], 1)), "\n")
+            print("MSE per dim:", np.mean(samples["mse_per_dim"], 1), "\n")
         elif "acceptance_rate" in samples:
             print("acceptance:",
-                  np.asarray(jnp.mean(samples["acceptance_rate"], 1)), "\n")
-        h5save(chains_dir / f"run_{i_run}.h5",
-               {k: _to_savable(v) for k, v in samples.items()})
+                  np.mean(samples["acceptance_rate"], 1), "\n")
+        h5save(chains_dir / f"run_{i_run}.h5", dict(samples))
         if sampler == "nuts":
             _save_nuts_state(last_path, state)
         else:
