@@ -177,6 +177,120 @@ def test_kaiser_formula_consistency():
     np.testing.assert_allclose(np.asarray(pth[1]), l2 * plin, rtol=1e-4)
 
 
+def test_quadratic_operator_wick_amplitudes():
+    """POSITIVE amplitude validation of the 2nd/3rd-order LBE operators
+    (the tree-level cross test above only checks they vanish there): for a
+    Gaussian field every operator auto/cross spectrum is an EXACT discrete
+    Wick contraction of the gridded correlation function,
+
+        P_{d2 d2}(k)   = 2 FT[xi^2]          d2 = dL^2 - <dL^2>
+        P_{s2 s2}(k)   = 2 FT[sum_ijkl xi_{ij,kl}^2]
+        P_{d2 s2}(k)   = 2 FT[sum_ij xi_{.,ij}^2]
+        P_{d3 d3}(k)   = 6 FT[xi^3]          d3 = dL^3 - 3 sig2 dL
+
+    with xi_{ij,kl} = iFT[K_ij K_kl P], K_ij the (traceless) shear kernel.
+    A wrong sigma^2 subtraction, shear-component assembly (s_22 from the
+    trace, off-diagonal doubling), factor-of-2 normalization, or growth
+    scaling breaks these at O(1) — none of it is visible to the null test.
+    Operators are extracted from the PRODUCTION `lagrangian_bias` brick by
+    switching on one coefficient at a time and reading at the exact lattice
+    (CIC at integer sites is the identity).  Reference parity: the ZeNBu
+    validation of reference bricks.py:327-452 (SURVEY valid_LBE_ZeNBu)."""
+    from montecosmo_tpu.models.bricks import lagrangian_bias
+    from montecosmo_tpu.ops.background import Background, Planck18
+    from montecosmo_tpu.ops.fourier import gradient_hat, invlaplace_hat, rfftk
+    from montecosmo_tpu.ops.power import lin_power_interp
+
+    N, BOXW, A = 32, 1000.0, 0.5
+    shape = 3 * (N,)
+    cosmo = Planck18()
+    bg = Background.create(cosmo)
+    pow_fn = lin_power_interp(cosmo)
+    kvec = rfftk(shape, 3 * (BOXW,))
+    kmesh = np.asarray(sum(np.asarray(ki) ** 2 for ki in kvec)) ** 0.5
+    cell_per_box = (N / BOXW) ** 3
+    amp = np.asarray(jax.jit(pow_fn)(jnp.asarray(kmesh)) * cell_per_box) ** 0.5
+    g = float(bg.a2g(jnp.asarray(A)))
+
+    lattice = jnp.stack(jnp.meshgrid(*[jnp.arange(float(s)) for s in shape],
+                                     indexing="ij"), -1).reshape(-1, 3)
+    zeros = dict(b1=0.0, b2=0.0, bs2=0.0, b3=0.0, bds2=0.0, bs3=0.0,
+                 bn2=0.0, bnpar=0.0)
+    png = dict(fNL_bp=0.0, fNL_bpd=0.0, fNL_bpd2=0.0, fNL_bps2=0.0,
+               fNL_bn2p=0.0)
+
+    def op_fields(seed):
+        white = np.random.default_rng(seed).standard_normal(shape)
+        lin = jnp.asarray(np.fft.rfftn(white) * amp, jnp.complex64)
+
+        @jax.jit
+        def extract(lin):
+            out = {}
+            for name, coeff in [("d2", {"b2": 2.0}), ("s2", {"bs2": 1.0}),
+                                ("d3", {"b3": 6.0})]:
+                w, _, _ = lagrangian_bias(cosmo, lattice, A, 3 * (BOXW,),
+                                          lin, {**zeros, **coeff}, png,
+                                          read_order=2, bg=bg)
+                out[name] = (w - 1.0).reshape(shape)
+            return out
+        return {k: np.asarray(v) for k, v in extract(lin).items()}
+
+    # exact discrete predictions from the same amplitude mesh A(k):
+    # xi(r) = iFT[g^2 A^2] (unit-variance white -> <|W|^2> = N^3 cancels
+    # numpy's 1/N^3 in irfftn)
+    p1 = (g * amp) ** 2
+    xi = np.fft.irfftn(p1)
+    kern = {}
+    for i in range(3):
+        for j in range(3):
+            # same kernel product as the brick's shear_comp: s_ij =
+            # iFT[(grad_i grad_j invlap - delta_ij/3) lin]
+            gg = np.asarray(gradient_hat(kvec, i) * gradient_hat(kvec, j)
+                            * invlaplace_hat(kvec)).real
+            kern[i, j] = gg - (1.0 / 3.0 if i == j else 0.0)
+    xi_dij = {ij: np.fft.irfftn(kern[ij] * p1) for ij in kern}
+    xi_ss = sum(np.fft.irfftn(kern[a] * kern[b] * p1) ** 2
+                for a in kern for b in kern)
+    pred = {
+        "d2": np.fft.rfftn(2 * xi**2).real,
+        "s2": np.fft.rfftn(2 * xi_ss).real,
+        "d3": np.fft.rfftn(6 * xi**3).real,
+        "d2xs2": np.fft.rfftn(2 * sum(v**2 for v in xi_dij.values())).real,
+    }
+
+    # measured power meshes averaged over seeds, binned identically
+    n_seeds = 6
+    meas = {k: np.zeros(kmesh.shape) for k in pred}
+    for s in range(n_seeds):
+        f = op_fields(s)
+        # the sigma^2 subtractions make the operators mean-zero up to the
+        # realization scatter of sigma-hat^2 (the auto-spectra below can't
+        # see a wrong constant — it only shifts the k=0 mode)
+        assert abs(f["d2"].mean()) < 0.05 * f["d2"].std(), f["d2"].mean()
+        assert abs(f["s2"].mean()) < 0.05 * f["s2"].std(), f["s2"].mean()
+        fk = {k: np.fft.rfftn(v - v.mean()) for k, v in f.items()}
+        for k in ("d2", "s2", "d3"):
+            meas[k] += (np.abs(fk[k]) ** 2 / N**3) / n_seeds
+        meas["d2xs2"] += ((fk["d2"] * np.conj(fk["s2"])).real / N**3) / n_seeds
+
+    kf = 2 * np.pi / BOXW
+    edges = np.arange(1.0, N / 2, 1.0) * kf
+    dig = np.digitize(kmesh.ravel(), edges)
+    counts = np.bincount(dig, minlength=edges.size + 1)
+
+    def binned(pmesh):
+        return np.bincount(dig, weights=pmesh.ravel(),
+                           minlength=edges.size + 1) / np.maximum(counts, 1)
+
+    # modest-k bins: enough modes for the seed average, below the CIC-read
+    # smoothing scale
+    sel = slice(2, 10)
+    for name, rtol in [("d2", 0.12), ("s2", 0.12), ("d3", 0.2),
+                       ("d2xs2", 0.12)]:
+        m, p = binned(meas[name])[sel], binned(pred[name])[sel]
+        np.testing.assert_allclose(m, p, rtol=rtol, err_msg=name)
+
+
 def test_png_scale_dependent_bias():
     """fNL b_phi phi operator: the cross bias acquires fNL*b_phi/M(k, a_obs)
     with M = trans_phi2delta — the 1/k^2 upturn with the PT amplitude."""
