@@ -602,6 +602,8 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
                     sizer.update(seg, _time.time() - _t0)
                 i += seg
                 chunks.append(part)
+                print(f"  run {i_run}: {i}/{n_samples} samples "
+                      f"({_time.time() - _t0:.1f}s/chunk)", flush=True)
             samples = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=1), *chunks) \
                 if len(chunks) > 1 else chunks[0]
