@@ -581,16 +581,48 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
 
     import time as _time
 
+    # mid-run checkpoint cadence: the axon TPU worker can die after minutes
+    # of back-to-back sampling programs; partial-run checkpoints let a rerun
+    # resume INSIDE the crashed run instead of redoing it from the top
+    ckpt_every = int(os.environ.get("MONTECOSMO_RUN_CKPT_EVERY", 8))
+
     for i_run in range(start, n_runs + 1):
         print(f"run {i_run}/{n_runs}")
         key, run_key = jr.split(key, 2)
+        part_path = chains_dir / f"run_{i_run}.partial.h5"
+        pstate_path = chains_dir / f"run_{i_run}.pstate.h5"
+        chunks, i, n_splits = [], 0, 0
+        if part_path.exists() and pstate_path.exists() and not overwrite:
+            saved = dict(h5load(part_path))
+            i = int(np.asarray(saved.pop("_n_samples")))
+            n_splits = int(np.asarray(saved.pop("_n_splits")))
+            chunks = [saved]
+            state = _load_nuts_state(pstate_path) if sampler == "nuts" \
+                else h5load_tree(pstate_path, IntegratorState)
+            print(f"  run {i_run}: resuming mid-run at sample {i} "
+                  f"({n_splits} chunks done)")
+        for _ in range(n_splits):  # replay the chunk-key schedule
+            run_key, _ = jr.split(run_key)
+
+        def _ckpt():
+            merged = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=1), *chunks) \
+                if len(chunks) > 1 else chunks[0]
+            if sampler == "nuts":
+                _save_nuts_state(pstate_path, state)
+            else:
+                h5save_tree(pstate_path, state)
+            h5save(part_path, {**merged, "_n_samples": np.int64(i),
+                               "_n_splits": np.int64(n_splits)})
+            return merged
+
         with phase("full_run"):
-            chunks = []
-            i = 0
+            since_ckpt = 0
             while i < n_samples:
                 seg = sizer.next(n_samples - i) if sizer \
                     else min(max_samp, n_samples - i)
                 run_key, k = jr.split(run_key)
+                n_splits += 1
                 _t0 = _time.time()
                 state, part = run_segment(k, state, seg)
                 # transfer every chunk to host immediately: forces execution
@@ -602,8 +634,11 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
                     sizer.update(seg, _time.time() - _t0)
                 i += seg
                 chunks.append(part)
+                since_ckpt += 1
                 print(f"  run {i_run}: {i}/{n_samples} samples "
                       f"({_time.time() - _t0:.1f}s/chunk)", flush=True)
+                if ckpt_every and since_ckpt >= ckpt_every and i < n_samples:
+                    chunks, since_ckpt = [_ckpt()], 0
             samples = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=1), *chunks) \
                 if len(chunks) > 1 else chunks[0]
@@ -614,6 +649,8 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
             print("acceptance:",
                   np.mean(samples["acceptance_rate"], 1), "\n")
         h5save(chains_dir / f"run_{i_run}.h5", dict(samples))
+        part_path.unlink(missing_ok=True)
+        pstate_path.unlink(missing_ok=True)
         if sampler == "nuts":
             _save_nuts_state(last_path, state)
         else:

@@ -36,7 +36,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
     from montecosmo_tpu.script import (
         field_warmup, full_run, full_warmup, make_chains, plot_field_warmup,
     )
-    from montecosmo_tpu.utils.io import h5save
+    from montecosmo_tpu.utils.io import h5load, h5save
 
     # -------------------------------------------------- fiducial and model
     fiduc = {
@@ -92,15 +92,27 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
 
     obs_site = "powspec" if model.observable == "powspec" else "count_mesh"
     if self_data:
-        print("\nSelf-predicting synthetic data from the fiducial loc...")
-        pred = model.predict(
-            samples=model.fiduc | {"white_mesh": model.white_mesh},
-            hide_base=False, hide_samp=False, from_base=True)
-        if obs_site == "powspec":
-            model.powspec_data = pred["powspec"]
+        cached = {}
+        if (save_dir / "obs.h5").exists() and not overwrite:
+            cached = h5load(save_dir / "obs.h5")
+        if obs_site in cached:
+            # retried attempts reuse the synthetic observation (the predict
+            # is a multi-minute program on the TPU tunnel)
+            print("\nLoading cached synthetic data...")
+            if obs_site == "powspec":
+                model.powspec_data = jnp.asarray(cached["powspec"])
+            else:
+                model.count_mesh = jnp.asarray(cached["count_mesh"])
         else:
-            model.count_mesh = pred["count_mesh"]
-        del pred
+            print("\nSelf-predicting synthetic data from the fiducial loc...")
+            pred = model.predict(
+                samples=model.fiduc | {"white_mesh": model.white_mesh},
+                hide_base=False, hide_samp=False, from_base=True)
+            if obs_site == "powspec":
+                model.powspec_data = pred["powspec"]
+            else:
+                model.count_mesh = pred["count_mesh"]
+            del pred
 
     model.save(save_dir / "model.yaml")
     # jit the whole check (eager complex ops are rejected on axon) and retry:
