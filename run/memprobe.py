@@ -52,9 +52,21 @@ else:
 def probe(n):
     devs = np.asarray(jax.devices()[:n])
     mesh = Mesh(devs, ("mesh",))
+    # production layout (--spatial-mesh campaigns): the mesh-sized latent is
+    # X-slab-sharded over the spatial mesh; scalars replicated. Replicating
+    # the latent instead (MEMPROBE_REPLICATED_ARG=1) adds its full-size
+    # argument AND gradient to every device.
+    replicated = bool(os.environ.get("MEMPROBE_REPLICATED_ARG"))
+
+    def spec(k, v):
+        if (not replicated and getattr(v, "ndim", 0) == 3
+                and v.shape[0] % n == 0):
+            return P("mesh", None, None)
+        return P()
+
     with mesh_context(mesh):
         fn = jax.jit(jax.value_and_grad(lambda p: model.logpdf({**p, **obs})))
-        shard = {k: jax.device_put(v, NamedSharding(mesh, P()))
+        shard = {k: jax.device_put(v, NamedSharding(mesh, spec(k, v)))
                  for k, v in params.items()}
         compiled = fn.lower(shard).compile()
     return compiled
