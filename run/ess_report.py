@@ -50,7 +50,8 @@ def main():
     from montecosmo_tpu.utils.io import h5load
 
     files = sorted(glob.glob(f"{args.save_dir}/chains/run_*.h5"))
-    files = [f for f in files if "last_state" not in f]
+    files = [f for f in files
+             if not any(s in f for s in ("last_state", "partial", "pstate"))]
     assert files, f"no runs in {args.save_dir}"
     runs = [h5load(f) for f in files]
 
