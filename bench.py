@@ -92,6 +92,83 @@ def build(final=128, paint_method="auto", evolution="lpt"):
     return jax.jit(eval_step), params
 
 
+def build_pm(mesh=256, n_steps=10, box=1000.0):
+    """North-star microbench: pure PM N-body forward+gradient.
+
+    BASELINE.json north star: "a 256^3-mesh 10-step PM forward+gradient
+    evaluation" — white noise -> linear field -> 2LPT init -> `n_steps`
+    BullFrog kick-drift-kick steps -> CIC paint at the same mesh, scalar
+    loss, reverse-mode gradient w.r.t. the white-noise field.  No bias/RSD/
+    likelihood machinery: this is the gravity-engine cost unit, comparable
+    to JaxPM-style PM benchmarks (mesh^3 particles on a mesh^3 grid).
+    """
+    import jax
+    from jax import numpy as jnp, random as jr
+
+    from montecosmo_tpu.models.bricks import regular_pos, white2lin
+    from montecosmo_tpu.ops.background import Background, Planck18
+    from montecosmo_tpu.ops.hermitian import rg2cgh
+    from montecosmo_tpu.ops.paint import paint
+    from montecosmo_tpu.ops.pm import nbody_bf
+
+    shape, box_size = 3 * (mesh,), 3 * (float(box),)
+    cell = box / mesh
+    max_disp = int(np.ceil(45.0 / cell))  # same displacement bound as model
+    cosmo = Planck18()
+
+    def loss_fn(white):
+        bg = Background.create(cosmo)
+        wh = rg2cgh(white) * np.prod(np.divide(shape, box_size)) ** 0.5
+        lin = white2lin(cosmo, wh, shape, box_size)
+        pos = regular_pos(shape)
+        pos, vel = nbody_bf(bg, lin, pos, a0=0.0, a1=1.0, n_steps=n_steps,
+                            paint_order=2, lpt_order=2,
+                            lattice_shape=shape, max_disp=max_disp,
+                            sites_shape=shape)
+        final = paint(pos[-1], shape, order=2, lattice_shape=shape,
+                      max_disp=max_disp, clip=True)
+        return jnp.mean((final - 1.0) ** 2)
+
+    white = jr.normal(jr.key(0), shape)
+    return jax.jit(jax.value_and_grad(loss_fn)), white
+
+
+def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):
+    import jax
+
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": f"pure PM N-body forward+grad at {mesh}^3 "
+                      f"({n_steps} BullFrog steps)",
+            "value": None, "unit": "evals/sec", "vs_baseline": None,
+            "error": "TPU backend unavailable (device probe timed out)"}))
+        return None
+    jax.config.update("jax_compilation_cache_dir", "/tmp/montecosmo_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    step, white = build_pm(mesh, n_steps)
+    for i in range(n_warmup):
+        loss, grad = _retry(lambda: jax.block_until_ready(step(white)),
+                            tag=f"warmup {i}")
+    assert np.isfinite(float(loss)), "non-finite PM loss"  # + sync dispatch
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        loss, grad = step(white)
+    jax.block_until_ready((loss, grad))
+    dt = (time.perf_counter() - t0) / n_iter
+
+    result = {
+        "metric": f"pure PM N-body forward+grad at {mesh}^3 mesh/particles "
+                  f"({n_steps} BullFrog steps, 2LPT init, CIC paint, f32)",
+        "value": round(1.0 / dt, 4), "unit": "evals/sec",
+        "vs_baseline": None, "ms_per_eval": round(dt * 1e3, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def _backend_alive(timeout_s=420):
     """Probe the backend with a tiny jit under a hard timeout: the axon
     remote worker can wedge into an UNAVAILABLE state where every device
@@ -163,6 +240,11 @@ def main(final=128, n_warmup=2, n_iter=10, paint_method="auto",
 
 
 if __name__ == "__main__":
-    final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto",
-         evolution=sys.argv[3] if len(sys.argv) > 3 else "lpt")
+    if len(sys.argv) > 1 and sys.argv[1] == "pm":
+        # north-star microbench: python bench.py pm [mesh=256] [n_steps=10]
+        main_pm(int(sys.argv[2]) if len(sys.argv) > 2 else 256,
+                int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    else:
+        final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+        main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto",
+             evolution=sys.argv[3] if len(sys.argv) > 3 else "lpt")
