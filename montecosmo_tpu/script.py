@@ -83,13 +83,20 @@ class _AdaptiveChunks:
 
 
 def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
-                      n_chains, key, pos):
+                      n_chains, key, pos, ckpt_path=None):
     """MCLMC warmup chunked into <= MAX_STEPS_PER_CALL-step device programs.
 
     The adaptation carry is threaded across chunks, so the tuning trajectory
     is IDENTICAL to one monolithic warmup (same per-step keys): only the
     host/device dispatch boundary moves — required on the axon runtime,
     which kills device programs running longer than ~30-60 s.
+
+    `ckpt_path` enables mid-warmup checkpoint/resume: the carry is saved
+    every MONTECOSMO_RUN_CKPT_EVERY chunks, and a rerun resumes at the
+    last saved chunk with a bit-identical trajectory (the per-step keys are
+    precomputed from the seed, so a restart replays the same schedule).
+    The TPU worker can die minutes into a long warmup — without this, a
+    2^13-step warmup lost to a worker kill restarts from zero.
     """
     if not MAX_STEPS_PER_CALL or n_steps <= MAX_STEPS_PER_CALL:
         fn = map_chains(get_mclmc_warmup(
@@ -125,16 +132,64 @@ def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
     chunk2 = jit(vmap(partial(_warmup_chunk, stream_moments=True,
                               logdf=logpdf,
                               desired_energy_var=desired_energy_var)))
-    i = 0
+
+    plan, i = [], 0  # (phase, key offset, length) per chunk
     for seg in _segments(steps1, MAX_STEPS_PER_CALL):
-        carry = chunk1(carry, keys=keys1[:, i:i + seg])
+        plan.append((1, i, seg))
         i += seg
     i = 0
     for seg in _segments(steps2, MAX_STEPS_PER_CALL):
-        carry = chunk2(carry, keys=keys2[:, i:i + seg])
+        plan.append((2, i, seg))
         i += seg
-    return jit(vmap(partial(_warmup_finalize,
-                            diagonal_preconditioning=tune_mass)))(carry)
+
+    start_chunk, done_steps = 0, 0
+    ckpt_path = Path(ckpt_path) if ckpt_path else None
+    ckpt_every = int(os.environ.get("MONTECOSMO_RUN_CKPT_EVERY", 8))
+    if ckpt_path is not None and ckpt_path.exists():
+        try:
+            saved = h5load(ckpt_path)
+            start_chunk = int(np.asarray(saved["_n_chunk"]))
+            leaves = [saved[f"l{j}"]
+                      for j in range(len(jax.tree.leaves(carry)))]
+            carry = jax.tree.unflatten(jax.tree.structure(carry), leaves)
+            done_steps = sum(seg for _, _, seg in plan[:start_chunk])
+            print(f"  warmup: resuming at chunk {start_chunk} "
+                  f"({done_steps}/{n_steps} steps)", flush=True)
+        except (OSError, KeyError) as exc:  # killed mid-write -> start over
+            print(f"  warmup: unreadable checkpoint ({exc}); restarting",
+                  flush=True)
+            start_chunk, done_steps = 0, 0
+            ckpt_path.unlink()
+
+    import time as _time
+    for n_chunk, (ph, off, seg) in enumerate(plan):
+        if n_chunk < start_chunk:
+            continue
+        fn, keys = (chunk1, keys1) if ph == 1 else (chunk2, keys2)
+        _t0 = _time.time()
+        carry = fn(carry, keys=keys[:, off:off + seg])
+        # transfer a scalar every chunk: forces execution NOW (honest chunk
+        # timings, host pacing between device programs, and a worker kill
+        # surfaces at the offending chunk instead of at the state save)
+        _ss = np.asarray(carry[1].step_size)
+        done_steps += seg
+        print(f"  warmup: {done_steps}/{n_steps} steps "
+              f"({_time.time() - _t0:.1f}s/chunk, ss {_ss.mean():.2e})",
+              flush=True)
+        if (ckpt_path is not None and ckpt_every
+                and (n_chunk + 1) % ckpt_every == 0
+                and n_chunk + 1 < len(plan)):
+            # atomic replace: a kill mid-write must not corrupt the resume
+            tmp = ckpt_path.with_suffix(".tmp.h5")
+            h5save(tmp, {"_n_chunk": np.int64(n_chunk + 1),
+                         **{f"l{j}": v for j, v in
+                            enumerate(jax.tree.leaves(carry))}})
+            os.replace(tmp, ckpt_path)
+    out = jit(vmap(partial(_warmup_finalize,
+                           diagonal_preconditioning=tune_mass)))(carry)
+    if ckpt_path is not None and ckpt_path.exists():
+        ckpt_path.unlink()  # the final state supersedes the checkpoint
+    return out
 
 
 def _segments(n_steps, max_steps):
@@ -345,7 +400,8 @@ def field_warmup(model, chains_dir, n_steps, desired_energy_var, n_chains,
         with phase("field_warmup"):
             state, config = _segmented_warmup(
                 model.logpdf, n_steps, desired_energy_var, False, n_chains,
-                jr.key(seed), params_start)
+                jr.key(seed), params_start,
+                ckpt_path=chains_dir / "field_warm_ckpt.h5")
         h5save_tree(state_path, state)
         h5save_tree(conf_path, config)
     else:
@@ -362,19 +418,22 @@ def plot_field_warmup(model, params_start, state, save_dir, prob=(0.68, 0.95)):
 
     save_dir = Path(save_dir)
     white_mesh = model.white_mesh
-    kptcs_start = vmap(lambda x: model.powtranscoh(
-        white_mesh, model.reparam(x)["white_mesh"]))(params_start)
-    kptcs_warm = vmap(lambda x: model.powtranscoh(
-        white_mesh, model.reparam(x)["white_mesh"]))(state.position)
-    kpow_true = model.spectrum(white_mesh)
+    # jit everything: unjitted vmaps dispatch op-by-op, and on the remote
+    # TPU runtime each eager op is a ~20 ms round trip (a 64^3 powtranscoh
+    # becomes tens of minutes of tunnel crawl)
+    kptc_fn = jit(vmap(lambda x: model.powtranscoh(
+        white_mesh, model.reparam(x)["white_mesh"])))
+    kptcs_start = jax.tree.map(np.asarray, kptc_fn(params_start))
+    kptcs_warm = jax.tree.map(np.asarray, kptc_fn(state.position))
+    kpow_true = jax.tree.map(np.asarray, jit(model.spectrum)(white_mesh))
     # whitened ICs -> the theoretical reference is flat unit power
-    kpow_fid = kptcs_warm[0][0], jnp.ones_like(kptcs_warm[0][0])
+    kpow_fid = kptcs_warm[0][0], np.ones_like(kptcs_warm[0][0])
 
     plt.figure(figsize=(12, 4), layout="constrained")
 
     def plot_kptcs(kptcs, label=None):
         plot_powtranscoh(*kptcs, fill=prob)
-        plot_powtranscoh(*jax.tree.map(lambda x: jnp.median(x, 0), kptcs),
+        plot_powtranscoh(*jax.tree.map(lambda x: np.median(x, 0), kptcs),
                          label=label)
 
     plot_kptcs(kptcs_start, label="start")
@@ -470,7 +529,8 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             else:
                 state, config = _segmented_warmup(
                     model.logpdf, n_steps, desired_energy_var, tune_mass,
-                    n_chains, jr.key(seed), params_warm)
+                    n_chains, jr.key(seed), params_warm,
+                    ckpt_path=chains_dir / "full_warm_ckpt.h5")
         print_mclmc_config(config, state)
 
         ss = jnp.median(config.step_size)
@@ -593,14 +653,19 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         pstate_path = chains_dir / f"run_{i_run}.pstate.h5"
         chunks, i, n_splits = [], 0, 0
         if part_path.exists() and pstate_path.exists() and not overwrite:
-            saved = dict(h5load(part_path))
-            i = int(np.asarray(saved.pop("_n_samples")))
-            n_splits = int(np.asarray(saved.pop("_n_splits")))
-            chunks = [saved]
-            state = _load_nuts_state(pstate_path) if sampler == "nuts" \
-                else h5load_tree(pstate_path, IntegratorState)
-            print(f"  run {i_run}: resuming mid-run at sample {i} "
-                  f"({n_splits} chunks done)")
+            try:
+                saved = dict(h5load(part_path))
+                i = int(np.asarray(saved.pop("_n_samples")))
+                n_splits = int(np.asarray(saved.pop("_n_splits")))
+                chunks = [saved]
+                state = _load_nuts_state(pstate_path) if sampler == "nuts" \
+                    else h5load_tree(pstate_path, IntegratorState)
+                print(f"  run {i_run}: resuming mid-run at sample {i} "
+                      f"({n_splits} chunks done)")
+            except (OSError, KeyError) as exc:  # killed mid-write
+                print(f"  run {i_run}: unreadable mid-run checkpoint "
+                      f"({exc}); restarting the run", flush=True)
+                chunks, i, n_splits = [], 0, 0
         for _ in range(n_splits):  # replay the chunk-key schedule
             run_key, _ = jr.split(run_key)
 
@@ -608,12 +673,17 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
             merged = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=1), *chunks) \
                 if len(chunks) > 1 else chunks[0]
+            # atomic replaces: a kill mid-write must not corrupt the resume
+            ptmp, stmp = (p.with_suffix(".tmp.h5")
+                          for p in (part_path, pstate_path))
             if sampler == "nuts":
-                _save_nuts_state(pstate_path, state)
+                _save_nuts_state(stmp, state)
             else:
-                h5save_tree(pstate_path, state)
-            h5save(part_path, {**merged, "_n_samples": np.int64(i),
-                               "_n_splits": np.int64(n_splits)})
+                h5save_tree(stmp, state)
+            h5save(ptmp, {**merged, "_n_samples": np.int64(i),
+                          "_n_splits": np.int64(n_splits)})
+            os.replace(stmp, pstate_path)
+            os.replace(ptmp, part_path)
             return merged
 
         with phase("full_run"):
@@ -648,13 +718,17 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         elif "acceptance_rate" in samples:
             print("acceptance:",
                   np.mean(samples["acceptance_rate"], 1), "\n")
-        h5save(chains_dir / f"run_{i_run}.h5", dict(samples))
+        rtmp = chains_dir / f"run_{i_run}.tmp.h5"
+        h5save(rtmp, dict(samples))
+        os.replace(rtmp, chains_dir / f"run_{i_run}.h5")
         part_path.unlink(missing_ok=True)
         pstate_path.unlink(missing_ok=True)
+        ltmp = last_path.with_suffix(".tmp.h5")
         if sampler == "nuts":
-            _save_nuts_state(last_path, state)
+            _save_nuts_state(ltmp, state)
         else:
-            h5save_tree(last_path, state)
+            h5save_tree(ltmp, state)
+        os.replace(ltmp, last_path)
     return state
 
 

@@ -51,7 +51,8 @@ def main():
 
     files = sorted(glob.glob(f"{args.save_dir}/chains/run_*.h5"))
     files = [f for f in files
-             if not any(s in f for s in ("last_state", "partial", "pstate"))]
+             if not any(s in f for s in ("last_state", "partial", "pstate",
+                                         ".tmp"))]
     assert files, f"no runs in {args.save_dir}"
     runs = [h5load(f) for f in files]
 

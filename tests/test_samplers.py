@@ -301,3 +301,51 @@ def test_segmented_nuts_warmup_bracket_and_seed():
             state[name].logdensity)).all()
     # the cold start burns max-depth trees until dual averaging recovers
     assert n_ev < 0.6 * n_ev_blind, (n_ev, n_ev_blind)
+
+
+def test_segmented_warmup_ckpt_resume(rng, tmp_path, monkeypatch):
+    """A warmup killed mid-phase resumes from its chunk checkpoint with a
+    bit-identical trajectory (the per-step key schedule is precomputed, and
+    the carry is restored exactly)."""
+    import montecosmo_tpu.script as script
+    from jax import random as jr
+
+    def logdf(params):
+        x = params["x"]
+        return -0.5 * jnp.sum(x ** 2) - 0.1 * jnp.sum(x ** 4)
+
+    n_chains, n_steps = 2, 40
+    pos = {"x": jnp.asarray(rng.standard_normal((n_chains, 16)), jnp.float32)}
+    key = jr.key(3)
+    ckpt = tmp_path / "warm_ckpt.h5"
+
+    monkeypatch.setattr(script, "MAX_STEPS_PER_CALL", 7)
+    monkeypatch.setenv("MONTECOSMO_RUN_CKPT_EVERY", "1")
+
+    ref = script._segmented_warmup(logdf, n_steps, 1e-4, False,
+                                   n_chains, key, pos)
+
+    # crash after 3 chunks: the checkpoint from chunk 3 must remain
+    calls = {"n": 0}
+    orig_chunk = script._warmup_chunk
+
+    def crashing_chunk(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("simulated worker kill")
+        return orig_chunk(*a, **kw)
+
+    monkeypatch.setattr(script, "_warmup_chunk", crashing_chunk)
+    with pytest.raises(RuntimeError, match="simulated"):
+        script._segmented_warmup(logdf, n_steps, 1e-4, False,
+                                 n_chains, key, pos, ckpt_path=ckpt)
+    assert ckpt.exists()
+    monkeypatch.setattr(script, "_warmup_chunk", orig_chunk)
+
+    resumed = script._segmented_warmup(logdf, n_steps, 1e-4, False,
+                                       n_chains, key, pos, ckpt_path=ckpt)
+    assert not ckpt.exists()  # cleaned up after the final state save
+    np.testing.assert_array_equal(np.asarray(resumed[1].step_size),
+                                  np.asarray(ref[1].step_size))
+    np.testing.assert_array_equal(np.asarray(resumed[0].position["x"]),
+                                  np.asarray(ref[0].position["x"]))
