@@ -133,6 +133,70 @@ def build_pm(mesh=256, n_steps=10, box=1000.0):
     return jax.jit(jax.value_and_grad(loss_fn)), white
 
 
+def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
+    """North-star microbench, host-staged (same math as `build_pm`).
+
+    At 256^3 the paint falls back to scatters (the displacement window
+    exceeds the 24-cell bound) and one monolithic 10-step value+grad runs
+    ~90 s on-device — past the axon ~30-60 s program kill (BENCH_NOTES.md).
+    Split the integration at program boundaries with
+    `utils.staged.host_scan_value_and_grad`: init / each BullFrog step /
+    loss / each transpose is its own program of ~1-3 force evaluations.
+    Exactness vs the monolithic path is tested (tests/test_staged_pm.py).
+    """
+    import jax
+    from jax import numpy as jnp, random as jr
+
+    from montecosmo_tpu.models.bricks import regular_pos, white2lin
+    from montecosmo_tpu.ops.background import Background, Planck18
+    from montecosmo_tpu.ops.hermitian import rg2cgh
+    from montecosmo_tpu.ops.paint import paint
+    from montecosmo_tpu.ops.pm import bullfrog_step, lpt
+    from montecosmo_tpu.utils.staged import host_scan_value_and_grad
+
+    shape, box_size = 3 * (mesh,), 3 * (float(box),)
+    cell = box / mesh
+    max_disp = int(np.ceil(45.0 / cell))
+    cosmo = Planck18()
+
+    # concrete growth knots (one tiny device program; Background tables must
+    # not run eagerly on axon)
+    def _knots():
+        bg = Background.create(cosmo)
+        g0, g1 = bg.a2g(jnp.asarray(0.0)), bg.a2g(jnp.asarray(1.0))
+        dgv = (g1 - g0) / n_steps
+        return g0 + dgv * jnp.arange(n_steps), dgv
+
+    gs, dg = jax.jit(_knots)()
+    gs, dg = np.asarray(gs), float(dg)
+
+    def init_fn(white):
+        bg = Background.create(cosmo)
+        wh = rg2cgh(white) * np.prod(np.divide(shape, box_size)) ** 0.5
+        lin = white2lin(cosmo, wh, shape, box_size)
+        pos = regular_pos(shape)
+        # read_order=1 at the regular lattice, as nbody_bf's LPT init does
+        dpos, vel = lpt(bg, lin, pos, a=0.0, lpt_order=2, read_order=1,
+                        sites_shape=shape)
+        return (pos + dpos, vel)
+
+    def body_fn(state, g0):
+        bg = Background.create(cosmo)
+        step = bullfrog_step(bg, dg, shape, paint_order=2,
+                             lattice_shape=shape, max_disp=max_disp)
+        return step(state, g0)[0]
+
+    def loss_fn(state):
+        final = paint(state[0], shape, order=2, lattice_shape=shape,
+                      max_disp=max_disp, clip=True)
+        return jnp.mean((final - 1.0) ** 2)
+
+    vag = host_scan_value_and_grad(init_fn, body_fn, loss_fn)
+    xs = [np.float32(g) for g in gs]
+    white = jr.normal(jr.key(0), shape)
+    return (lambda w: vag(w, xs)), white
+
+
 def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):
     import jax
 
@@ -147,7 +211,14 @@ def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    step, white = build_pm(mesh, n_steps)
+    import os
+    staged = os.environ.get("MONTECOSMO_STAGED_PM")
+    if (staged is None and mesh >= 192) or staged == "1":
+        # 256^3 scatter-paint steps overrun the axon program-kill window in
+        # one monolithic program; stage at step boundaries
+        step, white = build_pm_staged(mesh, n_steps)
+    else:
+        step, white = build_pm(mesh, n_steps)
     for i in range(n_warmup):
         loss, grad = _retry(lambda: jax.block_until_ready(step(white)),
                             tag=f"warmup {i}")
