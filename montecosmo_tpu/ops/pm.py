@@ -64,6 +64,15 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     if sites_shape is not None and read_order <= 2:
         # pos is the exact regular lattice: strided slicing, no gathers
         return read_sites(grads, sites_shape)
+    if lattice_shape is not None:
+        # lattice-ordered particles: gather-free MXU window read — the
+        # random row-gather (+ its scatter transpose) otherwise dominates
+        # every N-body step at ~8 ns/element (BENCH_NOTES.md); clip matches
+        # the paint above (mass-conserving clamp of displacement outliers)
+        from montecosmo_tpu.ops.paint_window import read_window
+        return read_window(pos.reshape(-1, grads.shape[-1]), grads,
+                           lattice_shape, read_order, max_disp=max_disp,
+                           clip=True)
     return read_multi(pos, grads, read_order)
 
 
