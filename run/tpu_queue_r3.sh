@@ -1,0 +1,74 @@
+#!/bin/bash
+# Round-3 TPU measurement queue: serialized (never two TPU processes),
+# probe-gated (the axon backend wedges UNAVAILABLE for up to ~30 min after
+# device-program kills), campaign jobs retried (infer.py resumes from its
+# file-based phase caches).
+#
+# Usage: bash run/tpu_queue_r3.sh [job ...]   (default: all jobs in order)
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo || exit 1
+LOG=/tmp/queue_r3.log
+REG=registered/register_synthetic_z1.000_b64_p0.h5
+OBS3="count_mesh white_mesh b2 bs2 b3 bds2 bs3 bn2 bnpar fNL fNL_bp fNL_bpd \
+fNL_bpd2 fNL_bps2 fNL_bn2p alpha_iso alpha_ap ngbars s_e s_k2e s_kmu2e \
+s_ed s_e2 s_ep"
+
+probe() {
+  for _ in $(seq 1 40); do
+    timeout 420 python - <<'EOF' >/dev/null 2>&1 && return 0
+import jax
+jax.config.update("jax_platforms", "axon")
+import jax.numpy as jnp
+assert float(jax.jit(lambda a: (a * a).sum())(jnp.ones((64, 64)))) == 4096.0
+EOF
+    sleep 90
+  done
+  return 1
+}
+
+job_pm256() { timeout 7200 python bench.py pm 256 10; }
+job_pm128() { timeout 5400 python bench.py pm 128 10; }
+job_nbody128() { timeout 7200 python bench.py 128 auto nbody; }
+job_bench128() { timeout 5400 python bench.py 128; }
+job_bench192() { timeout 7200 python bench.py 192; }
+job_mclmc64() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 timeout 21600 \
+    python run/infer.py --register "$REG" --evolution lpt \
+    --lik-type quad_gauss --self-data --n-chains 4 --n-steps-field 1024 \
+    --n-steps-full 2048 --n-runs 2 --n-samples 128 --thinning 32 \
+    --expe ess64
+}
+job_nuts64() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=6 \
+    timeout 21600 python run/infer.py --register "$REG" --evolution nbody \
+    --sampler nuts --self-data --n-chains 2 --n-steps-full 200 \
+    --n-runs 2 --n-samples 64 --thinning 2 --expe nuts64 \
+    --obs $OBS3
+}
+
+run_job() {
+  local name=$1 tries=$2
+  for t in $(seq 1 "$tries"); do
+    echo "=== $name try $t start $(date -u '+%F %T')" >>"$LOG"
+    if ! probe; then
+      echo "=== $name try $t ABORT: backend dead" >>"$LOG"
+      continue
+    fi
+    "job_$name" >>"/tmp/queue_r3_$name.log" 2>&1
+    local rc=$?
+    echo "=== $name try $t rc=$rc end $(date -u '+%F %T')" >>"$LOG"
+    [ "$rc" -eq 0 ] && return 0
+    sleep 120
+  done
+  return 1
+}
+
+JOBS=${*:-"pm256 nbody128 mclmc64 nuts64 bench192"}
+for j in $JOBS; do
+  case $j in
+    pm256|pm128|nbody128|bench128|bench192) run_job "$j" 2 ;;
+    mclmc64|nuts64) run_job "$j" 3 ;;
+    *) echo "unknown job $j" >>"$LOG" ;;
+  esac
+done
+echo "=== queue done $(date -u '+%F %T')" >>"$LOG"
