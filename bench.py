@@ -191,10 +191,23 @@ def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
                       max_disp=max_disp, clip=True)
         return jnp.mean((final - 1.0) ** 2)
 
-    vag = host_scan_value_and_grad(init_fn, body_fn, loss_fn)
+    import os
+    stage_times = {} if os.environ.get("MONTECOSMO_PM_PROFILE") else None
+    vag = host_scan_value_and_grad(init_fn, body_fn, loss_fn,
+                                   stage_times=stage_times)
     xs = [np.float32(g) for g in gs]
     white = jr.normal(jr.key(0), shape)
-    return (lambda w: vag(w, xs)), white
+
+    def run(w):
+        out = vag(w, xs)
+        if stage_times:
+            for k, ts in stage_times.items():
+                ms = [round(t * 1e3, 1) for t in ts[-len(xs):]]
+                print(f"# stage {k}: {ms} ms", file=sys.stderr)
+            stage_times.clear()
+        return out
+
+    return run, white
 
 
 def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):

@@ -24,7 +24,7 @@ import jax
 from jax import tree_util
 
 
-def host_scan_value_and_grad(init_fn, body_fn, loss_fn):
+def host_scan_value_and_grad(init_fn, body_fn, loss_fn, stage_times=None):
     """value_and_grad of ``loss_fn(scan(body_fn, init_fn(arg), xs))`` with
     every stage executed as its own jitted device program.
 
@@ -42,10 +42,27 @@ def host_scan_value_and_grad(init_fn, body_fn, loss_fn):
     the backward sweep and frees each as soon as its transpose has consumed
     it — peak ~ (n_steps+2) states, the price of O(1)-compile-size
     host-level checkpointing.
+
+    stage_times : optional dict; when given, every stage call is
+    block_until_ready-timed and appended under its stage name (profiling
+    of the per-program cost split — valid on axon only after
+    `utils.profiling.force_sync_dispatch`).
     """
-    init_j = jax.jit(init_fn)
-    body_j = jax.jit(body_fn)
-    loss_vag_j = jax.jit(jax.value_and_grad(loss_fn))
+    def _timed(name, f):
+        if stage_times is None:
+            return f
+        import time
+
+        def g(*a):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(f(*a))
+            stage_times.setdefault(name, []).append(time.perf_counter() - t0)
+            return out
+        return g
+
+    init_j = _timed("init", jax.jit(init_fn))
+    body_j = _timed("step", jax.jit(body_fn))
+    loss_vag_j = _timed("loss+vjp", jax.jit(jax.value_and_grad(loss_fn)))
 
     def _body_vjp(state, x, ct):
         # recompute the step forward inside the transpose program (the
@@ -57,8 +74,8 @@ def host_scan_value_and_grad(init_fn, body_fn, loss_fn):
         _, vjp = jax.vjp(init_fn, arg)
         return vjp(ct)[0]
 
-    body_vjp_j = jax.jit(_body_vjp)
-    init_vjp_j = jax.jit(_init_vjp)
+    body_vjp_j = _timed("step-vjp", jax.jit(_body_vjp))
+    init_vjp_j = _timed("init-vjp", jax.jit(_init_vjp))
 
     def value_and_grad(arg, xs):
         states = [init_j(arg)]
