@@ -144,6 +144,8 @@ def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
     loss / each transpose is its own program of ~1-3 force evaluations.
     Exactness vs the monolithic path is tested (tests/test_staged_pm.py).
     """
+    import os
+
     import jax
     from jax import numpy as jnp, random as jr
 
@@ -180,22 +182,35 @@ def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
                         sites_shape=shape)
         return (pos + dpos, vel)
 
-    def body_fn(state, g0):
+    # steps per device program: larger chunks amortize program dispatch and
+    # let XLA overlap across steps, bounded by the ~30-60 s axon kill window
+    spp = int(os.environ.get("MONTECOSMO_PM_STEPS_PER_PROGRAM", 1))
+
+    def body_fn(state, g0s):
+        import jax as _jax
+        from jax import lax
+
         bg = Background.create(cosmo)
         step = bullfrog_step(bg, dg, shape, paint_order=2,
                              lattice_shape=shape, max_disp=max_disp)
-        return step(state, g0)[0]
+        if spp == 1:
+            return step(state, g0s)[0]
+        return lax.scan(_jax.checkpoint(step), state, g0s)[0]
 
     def loss_fn(state):
         final = paint(state[0], shape, order=2, lattice_shape=shape,
                       max_disp=max_disp, clip=True)
         return jnp.mean((final - 1.0) ** 2)
 
-    import os
     stage_times = {} if os.environ.get("MONTECOSMO_PM_PROFILE") else None
     vag = host_scan_value_and_grad(init_fn, body_fn, loss_fn,
                                    stage_times=stage_times)
-    xs = [np.float32(g) for g in gs]
+    assert n_steps % spp == 0, (n_steps, spp)
+    if spp == 1:
+        xs = [np.float32(g) for g in gs]
+    else:
+        xs = [np.asarray(gs[i:i + spp], np.float32)
+              for i in range(0, n_steps, spp)]
     white = jr.normal(jr.key(0), shape)
 
     def run(w):
