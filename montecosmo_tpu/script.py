@@ -420,11 +420,15 @@ def plot_field_warmup(model, params_start, state, save_dir, prob=(0.68, 0.95)):
     white_mesh = model.white_mesh
     # jit everything: unjitted vmaps dispatch op-by-op, and on the remote
     # TPU runtime each eager op is a ~20 ms round trip (a 64^3 powtranscoh
-    # becomes tens of minutes of tunnel crawl)
-    kptc_fn = jit(vmap(lambda x: model.powtranscoh(
-        white_mesh, model.reparam(x)["white_mesh"])))
-    kptcs_start = jax.tree.map(np.asarray, kptc_fn(params_start))
-    kptcs_warm = jax.tree.map(np.asarray, kptc_fn(state.position))
+    # becomes tens of minutes of tunnel crawl).  white_mesh must be an
+    # ARGUMENT, not a closure capture: the register's whitened ICs are a
+    # COMPLEX device array, and embedding it as a jit constant forces a
+    # complex device->host fetch — UNIMPLEMENTED on axon (crashed the
+    # config-4 campaign deterministically after a complete field warmup)
+    kptc_fn = jit(vmap(lambda x, wm: model.powtranscoh(
+        wm, model.reparam(x)["white_mesh"]), in_axes=(0, None)))
+    kptcs_start = jax.tree.map(np.asarray, kptc_fn(params_start, white_mesh))
+    kptcs_warm = jax.tree.map(np.asarray, kptc_fn(state.position, white_mesh))
     kpow_true = jax.tree.map(np.asarray, jit(model.spectrum)(white_mesh))
     # whitened ICs -> the theoretical reference is flat unit power
     kpow_fid = kptcs_warm[0][0], np.ones_like(kptcs_warm[0][0])
