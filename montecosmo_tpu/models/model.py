@@ -1382,9 +1382,14 @@ class FieldLevelModel(Model):
         """Add 'kptc_{name}' = (k, P, transfer, coherence) of chain meshes
         against a reference mesh."""
         chains = chains.copy()
-        fn = nvmap(lambda x: self.powtranscoh(mesh0, x, kedges=kedges), batch_ndim)
+        # jit with mesh0 as an ARGUMENT: the reference mesh is typically the
+        # register's complex device-resident ICs, and both eager complex ops
+        # and complex closure-constant embedding are UNIMPLEMENTED on the
+        # TPU runtime (plus eager dispatch is a ~20 ms/op tunnel crawl)
+        fn = jax.jit(lambda data, m0: nvmap(
+            lambda x: self.powtranscoh(m0, x, kedges=kedges), batch_ndim)(data))
         for name in np.atleast_1d(names):
-            chains.data[f"kptc_{name}"] = fn(chains.data[name])
+            chains.data[f"kptc_{name}"] = fn(chains.data[name], mesh0)
         return chains
 
     def kaiser_post(self, seed, base=False, temp=1.0, scale_field=1.0):

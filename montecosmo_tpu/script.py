@@ -800,11 +800,18 @@ def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix="")
     # the IC-recovery panel needs an observed count MESH; a powspec-observed
     # campaign has no field-level observation to compare against
     if infer_init and "count_mesh" in obs:
-        mesh_obs = jnp.fft.rfftn(model.count2delta(obs["count_mesh"]))
-        mesh_obs = jnp.fft.irfftn(chreshape(mesh_obs, r2chshape(model.init_shape)))
-        kptc_obs = model.powtranscoh(white_mesh, mesh_obs)
-        kpow_ref = model.spectrum(white_mesh)
-        kpow_fid = kptc_obs[0], jnp.ones_like(kptc_obs[0])
+        # one jitted program: the FFT/repack chain is complex ops and the
+        # reference ICs are a complex device array — both eager-hostile on
+        # the TPU runtime (see plot_field_warmup)
+        def _kptc_obs(cm, wm):
+            mesh_obs = jnp.fft.rfftn(model.count2delta(cm))
+            mesh_obs = jnp.fft.irfftn(
+                chreshape(mesh_obs, r2chshape(model.init_shape)))
+            return model.powtranscoh(wm, mesh_obs), model.spectrum(wm)
+
+        kptc_obs, kpow_ref = jax.tree.map(np.asarray, jit(_kptc_obs)(
+            jnp.asarray(obs["count_mesh"]), white_mesh))
+        kpow_fid = kptc_obs[0], np.ones_like(kptc_obs[0])
 
         plt.figure(figsize=(12, 4), layout="constrained")
         plt.subplot(131)
