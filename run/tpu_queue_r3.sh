@@ -45,6 +45,18 @@ job_nuts64() {
     --n-runs 2 --n-samples 64 --thinning 2 --expe nuts64 \
     --obs $OBS3
 }
+# config-3 at 32^3: one NUTS step is ONE device program; at 64^3 N-body
+# (~2.4 s/eval) even an 8-eval tree breaches the ~30-60 s program kill, so
+# the single-program kernel tops out at 32^3 (~0.3 s/eval, depth-5 trees
+# ~19 s).  64^3+ needs the host-chunked NUTS step (in progress).
+job_nuts32() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=5 \
+    timeout 21600 python run/infer.py \
+    --register registered/register_synthetic_z1.000_b32_p0.h5 \
+    --evolution nbody --sampler nuts --self-data --n-chains 2 \
+    --n-steps-full 200 --n-runs 2 --n-samples 64 --thinning 2 \
+    --expe nuts32 --obs $OBS3
+}
 
 run_job() {
   local name=$1 tries=$2
@@ -67,7 +79,7 @@ JOBS=${*:-"pm256 nbody128 mclmc64 nuts64 bench192"}
 for j in $JOBS; do
   case $j in
     pm256|pm128|nbody128|bench128|bench192) run_job "$j" 2 ;;
-    mclmc64|nuts64) run_job "$j" 3 ;;
+    mclmc64|nuts64|nuts32) run_job "$j" 3 ;;
     *) echo "unknown job $j" >>"$LOG" ;;
   esac
 done
