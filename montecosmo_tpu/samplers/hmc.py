@@ -118,6 +118,138 @@ def _is_turning(r_left, r_right, r_sum, invmm):
     return (jnp.dot(v, r_left) <= 0) | (jnp.dot(v, r_right) <= 0)
 
 
+def _leaf_cond(s, n_leaf):
+    """Continue integrating leaves of the current subtree?"""
+    return (s["i"] < n_leaf) & ~s["turning"] & ~s["diverging"]
+
+
+def _subtree_carry0(key, tree: _Tree, direction, d, max_depth):
+    """Leaf-loop carry at the start of a subtree build from `tree`'s edge."""
+    x, r, g, ld = lax.cond(
+        direction > 0,
+        lambda: (tree.x_right, tree.r_right, tree.g_right, tree.ld_right),
+        lambda: (tree.x_left, tree.r_left, tree.g_left, tree.ld_left))
+    dt = x.dtype
+    return dict(
+        i=jnp.asarray(0), key=key, x=x, r=r, g=g, ld=ld,
+        x_prop=x, ld_prop=ld, g_prop=g,
+        logw=jnp.asarray(-jnp.inf, dt),
+        r_sum=jnp.zeros_like(r), sum_acc=jnp.zeros((), dt),
+        turning=jnp.asarray(False), diverging=jnp.asarray(False),
+        r_ckpts=jnp.zeros((max_depth + 1, d), dt),
+        rsum_ckpts=jnp.zeros((max_depth + 1, d), dt),
+        x_first=x, r_first=r, g_first=g, ld_first=ld)
+
+
+def _leaf_body(s, *, logdensity_fn, unravel, step_size, invmm, H0, direction,
+               divergence_threshold, max_depth):
+    """One leapfrog leaf of a subtree build (progressive multinomial +
+    checkpoint-scheme internal turning checks)."""
+    key, sub = jr.split(s["key"])
+    x, r, g, ld = _leapfrog(s["x"], s["r"], s["g"], logdensity_fn, unravel,
+                            direction * step_size, invmm)
+    H = -ld + _kinetic(r, invmm)
+    dH = H - H0
+    diverging = ~jnp.isfinite(dH) | (dH > divergence_threshold)
+    logw_leaf = jnp.where(jnp.isfinite(H), -H, -jnp.inf)
+    sum_acc = s["sum_acc"] + jnp.where(
+        jnp.isfinite(dH), jnp.minimum(1.0, jnp.exp(-dH)), 0.0)
+
+    # progressive multinomial within the subtree
+    logw = jnp.logaddexp(s["logw"], logw_leaf)
+    take = jr.uniform(key) < jnp.exp(logw_leaf - logw)
+    x_prop = jnp.where(take, x, s["x_prop"])
+    ld_prop = jnp.where(take, ld, s["ld_prop"])
+    g_prop = jnp.where(take, g, s["g_prop"])
+
+    r_sum = s["r_sum"] + r
+    i = s["i"]
+
+    # checkpoint at even leaves: slot = popcount(i)
+    slot_w = _popcount(i)
+    even = (i % 2) == 0
+    r_ckpts = jnp.where(even, s["r_ckpts"].at[slot_w].set(r), s["r_ckpts"])
+    rsum_ckpts = jnp.where(even, s["rsum_ckpts"].at[slot_w].set(r_sum),
+                           s["rsum_ckpts"])
+
+    # turning checks for subtrees ending at odd leaf i:
+    # slots [popcount(i+1)-1, popcount(i)-1]
+    idx_min = _popcount(i + 1) - 1
+    idx_max = _popcount(i) - 1
+
+    def check(slot, acc):
+        active = (slot >= idx_min) & (slot <= idx_max) & ((i % 2) == 1)
+        sub_rsum = r_sum - rsum_ckpts[slot] + r_ckpts[slot]
+        turn = _is_turning(r_ckpts[slot], r, sub_rsum, invmm)
+        return acc | (active & turn)
+
+    turning = lax.fori_loop(0, max_depth + 1, check, jnp.asarray(False))
+
+    first = i == 0
+    return dict(
+        i=i + 1, key=sub, x=x, r=r, g=g, ld=ld,
+        x_prop=x_prop, ld_prop=ld_prop, g_prop=g_prop,
+        logw=logw, r_sum=r_sum, sum_acc=sum_acc,
+        turning=turning, diverging=diverging,
+        r_ckpts=r_ckpts, rsum_ckpts=rsum_ckpts,
+        x_first=jnp.where(first, x, s["x_first"]),
+        r_first=jnp.where(first, r, s["r_first"]),
+        g_first=jnp.where(first, g, s["g_first"]),
+        ld_first=jnp.where(first, ld, s["ld_first"]))
+
+
+def _subtree_final(s, direction) -> _Tree:
+    """Orient a finished leaf-loop carry along the global left/right axes."""
+    xl, rl, gl, ldl = lax.cond(
+        direction > 0,
+        lambda: (s["x_first"], s["r_first"], s["g_first"], s["ld_first"]),
+        lambda: (s["x"], s["r"], s["g"], s["ld"]))
+    xr, rr, gr, ldr = lax.cond(
+        direction > 0,
+        lambda: (s["x"], s["r"], s["g"], s["ld"]),
+        lambda: (s["x_first"], s["r_first"], s["g_first"], s["ld_first"]))
+    return _Tree(xl, rl, gl, ldl, xr, rr, gr, ldr,
+                 s["x_prop"], s["ld_prop"], s["g_prop"], s["logw"],
+                 s["r_sum"], s["turning"], s["diverging"],
+                 s["sum_acc"], s["i"])
+
+
+def _double_merge(tree: _Tree, sub: _Tree, direction, key_take, invmm) -> _Tree:
+    """Biased progressive merge of a new subtree into the trajectory."""
+    invalid = sub.turning | sub.diverging
+    p_take = jnp.clip(jnp.exp(sub.logw - tree.logw), max=1.0)
+    take = (jr.uniform(key_take) < p_take) & ~invalid
+    x_prop = jnp.where(take, sub.x_prop, tree.x_prop)
+    ld_prop = jnp.where(take, sub.ld_prop, tree.ld_prop)
+    g_prop = jnp.where(take, sub.g_prop, tree.g_prop)
+
+    def merged():
+        xl, rl, gl, ldl = lax.cond(
+            direction > 0,
+            lambda: (tree.x_left, tree.r_left, tree.g_left, tree.ld_left),
+            lambda: (sub.x_left, sub.r_left, sub.g_left, sub.ld_left))
+        xr, rr, gr, ldr = lax.cond(
+            direction > 0,
+            lambda: (sub.x_right, sub.r_right, sub.g_right, sub.ld_right),
+            lambda: (tree.x_right, tree.r_right, tree.g_right, tree.ld_right))
+        r_sum = tree.r_sum + sub.r_sum
+        turning = _is_turning(rl, rr, r_sum, invmm)
+        return _Tree(xl, rl, gl, ldl, xr, rr, gr, ldr,
+                     x_prop, ld_prop, g_prop,
+                     jnp.logaddexp(tree.logw, sub.logw), r_sum,
+                     turning, sub.diverging,
+                     tree.sum_acc + sub.sum_acc,
+                     tree.n_leaves + sub.n_leaves)
+
+    def stopped():
+        return tree._replace(turning=tree.turning | sub.turning,
+                             diverging=tree.diverging | sub.diverging,
+                             sum_acc=tree.sum_acc + sub.sum_acc,
+                             n_leaves=tree.n_leaves + sub.n_leaves)
+
+    return lax.cond(invalid, stopped, merged)
+
+
 def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
                 max_num_doublings=None, divergence_threshold=1000.0):
     """Dynamic NUTS transition (iterative, multinomial, biased progressive).
@@ -148,106 +280,18 @@ def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
         r0 = jr.normal(key_mom, x0.shape, x0.dtype) / jnp.sqrt(invmm)
         H0 = -state.logdensity + _kinetic(r0, invmm)
 
-        def leapfrog_from(x, r, g, direction):
-            return _leapfrog(x, r, g, logdensity_fn, unravel,
-                             direction * step_size, invmm)
-
         def build_subtree(key, tree: _Tree, depth, direction):
             """Integrate 2^depth leaves from the trajectory edge, with
             progressive multinomial sampling and internal turning checks."""
             n_leaf = 2**depth  # dynamic upper bound for while_loop
-
-            x, r, g, ld = lax.cond(
-                direction > 0,
-                lambda: (tree.x_right, tree.r_right, tree.g_right, tree.ld_right),
-                lambda: (tree.x_left, tree.r_left, tree.g_left, tree.ld_left))
-
-            r_ckpts = jnp.zeros((max_depth + 1, d), x.dtype)
-            rsum_ckpts = jnp.zeros((max_depth + 1, d), x.dtype)
-
-            init = dict(
-                i=jnp.asarray(0), key=key, x=x, r=r, g=g, ld=ld,
-                x_prop=x, ld_prop=ld, g_prop=g,
-                logw=jnp.asarray(-jnp.inf, x.dtype),
-                r_sum=jnp.zeros_like(r), sum_acc=jnp.zeros((), x.dtype),
-                turning=jnp.asarray(False), diverging=jnp.asarray(False),
-                r_ckpts=r_ckpts, rsum_ckpts=rsum_ckpts,
-                x_first=x, r_first=r, g_first=g, ld_first=ld)
-
-            def cond_fn(s):
-                return (s["i"] < n_leaf) & ~s["turning"] & ~s["diverging"]
-
-            def body_fn(s):
-                key, sub = jr.split(s["key"])
-                x, r, g, ld = leapfrog_from(s["x"], s["r"], s["g"], direction)
-                H = -ld + _kinetic(r, invmm)
-                dH = H - H0
-                diverging = ~jnp.isfinite(dH) | (dH > divergence_threshold)
-                logw_leaf = jnp.where(jnp.isfinite(H), -H, -jnp.inf)
-                sum_acc = s["sum_acc"] + jnp.where(
-                    jnp.isfinite(dH), jnp.minimum(1.0, jnp.exp(-dH)), 0.0)
-
-                # progressive multinomial within the subtree
-                logw = jnp.logaddexp(s["logw"], logw_leaf)
-                take = jr.uniform(key) < jnp.exp(logw_leaf - logw)
-                x_prop = jnp.where(take, x, s["x_prop"])
-                ld_prop = jnp.where(take, ld, s["ld_prop"])
-                g_prop = jnp.where(take, g, s["g_prop"])
-
-                r_sum = s["r_sum"] + r
-                i = s["i"]
-
-                # checkpoint at even leaves: slot = popcount(i)
-                slot_w = _popcount(i)
-                even = (i % 2) == 0
-                r_ckpts = jnp.where(even,
-                                    s["r_ckpts"].at[slot_w].set(r),
-                                    s["r_ckpts"])
-                rsum_ckpts = jnp.where(even,
-                                       s["rsum_ckpts"].at[slot_w].set(r_sum),
-                                       s["rsum_ckpts"])
-
-                # turning checks for subtrees ending at odd leaf i:
-                # slots [popcount(i+1)-1, popcount(i)-1]
-                idx_min = _popcount(i + 1) - 1
-                idx_max = _popcount(i) - 1
-
-                def check(slot, acc):
-                    active = (slot >= idx_min) & (slot <= idx_max) & ((i % 2) == 1)
-                    sub_rsum = r_sum - rsum_ckpts[slot] + r_ckpts[slot]
-                    turn = _is_turning(r_ckpts[slot], r, sub_rsum, invmm)
-                    return acc | (active & turn)
-
-                turning = lax.fori_loop(0, max_depth + 1, check, jnp.asarray(False))
-
-                first = i == 0
-                return dict(
-                    i=i + 1, key=sub, x=x, r=r, g=g, ld=ld,
-                    x_prop=x_prop, ld_prop=ld_prop, g_prop=g_prop,
-                    logw=logw, r_sum=r_sum, sum_acc=sum_acc,
-                    turning=turning, diverging=diverging,
-                    r_ckpts=r_ckpts, rsum_ckpts=rsum_ckpts,
-                    x_first=jnp.where(first, x, s["x_first"]),
-                    r_first=jnp.where(first, r, s["r_first"]),
-                    g_first=jnp.where(first, g, s["g_first"]),
-                    ld_first=jnp.where(first, ld, s["ld_first"]))
-
-            s = lax.while_loop(cond_fn, body_fn, init)
-
-            # orient the subtree edges along the global left/right axes
-            xl, rl, gl, ldl = lax.cond(
-                direction > 0,
-                lambda: (s["x_first"], s["r_first"], s["g_first"], s["ld_first"]),
-                lambda: (s["x"], s["r"], s["g"], s["ld"]))
-            xr, rr, gr, ldr = lax.cond(
-                direction > 0,
-                lambda: (s["x"], s["r"], s["g"], s["ld"]),
-                lambda: (s["x_first"], s["r_first"], s["g_first"], s["ld_first"]))
-
-            return _Tree(xl, rl, gl, ldl, xr, rr, gr, ldr,
-                         s["x_prop"], s["ld_prop"], s["g_prop"], s["logw"],
-                         s["r_sum"], s["turning"], s["diverging"],
-                         s["sum_acc"], s["i"])
+            init = _subtree_carry0(key, tree, direction, d, max_depth)
+            body = partial(_leaf_body, logdensity_fn=logdensity_fn,
+                           unravel=unravel, step_size=step_size, invmm=invmm,
+                           H0=H0, direction=direction,
+                           divergence_threshold=divergence_threshold,
+                           max_depth=max_depth)
+            s = lax.while_loop(lambda s: _leaf_cond(s, n_leaf), body, init)
+            return _subtree_final(s, direction)
 
         logw0 = -H0
         tree0 = _Tree(x0, r0, g0, state.logdensity,
@@ -265,41 +309,7 @@ def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
             key, key_dir, key_sub, key_take = jr.split(key, 4)
             direction = jnp.where(jr.bernoulli(key_dir), 1.0, -1.0)
             sub = build_subtree(key_sub, tree, depth, direction)
-
-            invalid = sub.turning | sub.diverging
-            # biased progressive sampling: favor the new subtree
-            p_take = jnp.clip(jnp.exp(sub.logw - tree.logw), max=1.0)
-            take = (jr.uniform(key_take) < p_take) & ~invalid
-            x_prop = jnp.where(take, sub.x_prop, tree.x_prop)
-            ld_prop = jnp.where(take, sub.ld_prop, tree.ld_prop)
-            g_prop = jnp.where(take, sub.g_prop, tree.g_prop)
-
-            # merge edges (only meaningful when the subtree is valid)
-            def merged():
-                xl, rl, gl, ldl = lax.cond(
-                    direction > 0,
-                    lambda: (tree.x_left, tree.r_left, tree.g_left, tree.ld_left),
-                    lambda: (sub.x_left, sub.r_left, sub.g_left, sub.ld_left))
-                xr, rr, gr, ldr = lax.cond(
-                    direction > 0,
-                    lambda: (sub.x_right, sub.r_right, sub.g_right, sub.ld_right),
-                    lambda: (tree.x_right, tree.r_right, tree.g_right, tree.ld_right))
-                r_sum = tree.r_sum + sub.r_sum
-                turning = _is_turning(rl, rr, r_sum, invmm)
-                return _Tree(xl, rl, gl, ldl, xr, rr, gr, ldr,
-                             x_prop, ld_prop, g_prop,
-                             jnp.logaddexp(tree.logw, sub.logw), r_sum,
-                             turning, sub.diverging,
-                             tree.sum_acc + sub.sum_acc,
-                             tree.n_leaves + sub.n_leaves)
-
-            def stopped():
-                return tree._replace(turning=tree.turning | sub.turning,
-                                     diverging=tree.diverging | sub.diverging,
-                                     sum_acc=tree.sum_acc + sub.sum_acc,
-                                     n_leaves=tree.n_leaves + sub.n_leaves)
-
-            tree = lax.cond(invalid, stopped, merged)
+            tree = _double_merge(tree, sub, direction, key_take, invmm)
             return depth + 1, key, tree
 
         depth, _, tree = lax.while_loop(doubling_cond, doubling_body,
@@ -314,6 +324,157 @@ def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
         return new, info
 
     return kernel
+
+
+def _where_leaf(pred, new, old):
+    """jnp.where that also works on typed PRNG-key leaves."""
+    if hasattr(new, "dtype") and jnp.issubdtype(new.dtype, jax.dtypes.prng_key):
+        return jr.wrap_key_data(
+            jnp.where(pred, jr.key_data(new), jr.key_data(old)))
+    return jnp.where(pred, new, old)
+
+
+def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None,
+                         divergence_threshold=1000.0, evals_per_program=8):
+    """HOST-driven NUTS transition: the doubling loop and the subtree leaf
+    loop run at the host level, so no single device program integrates more
+    than `evals_per_program` leapfrog leaves.
+
+    Why: on the axon TPU runtime a device program running longer than
+    ~30-60 s is KILLED, and one NUTS step of `nuts_kernel` is ONE program of
+    up to 2^max_depth gradient evaluations — at 64^3 N-body cost
+    (~2.4 s/eval measured, BENCH_NOTES round 3) even an 8-eval tree breaches
+    the window.  Here each leaf chunk is its own jitted program
+    (device-resident carry between programs), the host reads only small
+    per-chain flags, and early u-turns terminate chunking immediately.
+
+    Semantics: EXACTLY `jit(vmap(nuts_kernel(...)))` — same per-chain key
+    schedule, and finished chains are frozen with the same masking that
+    vmap applies to `lax.while_loop` lanes (tested equal, including
+    divergences and depth bookkeeping, in tests/test_nuts_host.py).
+
+    logdensity_fn : (position, cond) -> logdensity.  `cond` is an arbitrary
+        per-chain pytree of conditioning values (the NUTS-within-Gibbs
+        "other blocks"); pass empty dicts when unused.
+    position_like : SINGLE-chain position pytree (structure + dtypes).
+
+    Returns `step(keys, state, step_size, invmm, cond)`; every argument
+    carries a leading chains axis (state: HMCState of (C, ...) leaves,
+    step_size (C,), invmm (C, d) or (C,)), and it returns (state', info)
+    like the monolithic kernel.
+    """
+    import os
+
+    if max_num_doublings is None:
+        max_num_doublings = int(
+            os.environ.get("MONTECOSMO_NUTS_MAX_DOUBLINGS", "10"))
+    max_depth = int(max_num_doublings)
+    x_like, unravel = _ravel(position_like)
+    d = x_like.shape[0]
+
+    # chunk sizes: powers of two up to evals_per_program (subtree of depth k
+    # runs ceil(2^k / m) chunks; small depths get exact-size programs so a
+    # depth-0 subtree costs 1 eval, not m)
+    m_max = max(1, int(evals_per_program))
+    m_max = 1 << (m_max.bit_length() - 1)  # round down to a power of 2
+
+    def one_init(key, st, invmm):
+        x0 = _ravel(st.position)[0]
+        g0 = _ravel(st.logdensity_grad)[0]
+        key_mom, key_traj = jr.split(key)
+        invmmb = jnp.broadcast_to(jnp.asarray(invmm, x0.dtype), x0.shape)
+        r0 = jr.normal(key_mom, x0.shape, x0.dtype) / jnp.sqrt(invmmb)
+        H0 = -st.logdensity + _kinetic(r0, invmmb)
+        logw0 = -H0
+        tree0 = _Tree(x0, r0, g0, st.logdensity,
+                      x0, r0, g0, st.logdensity,
+                      x0, st.logdensity, g0, logw0,
+                      r0, jnp.asarray(False), jnp.asarray(False),
+                      jnp.zeros((), x0.dtype), jnp.asarray(1))
+        return dict(key=key_traj, tree=tree0, H0=H0,
+                    done=jnp.asarray(False), depth=jnp.asarray(0))
+
+    def one_prep(c):
+        key, key_dir, key_sub, key_take = jr.split(c["key"], 4)
+        direction = jnp.where(jr.bernoulli(key_dir), 1.0, -1.0)
+        s0 = _subtree_carry0(key_sub, c["tree"], direction, d, max_depth)
+        # frozen chains must not advance their key (the masking vmap applies
+        # to stopped while_loop lanes)
+        new_key = _where_leaf(c["done"], c["key"], key)
+        return {**c, "key": new_key}, s0, direction, key_take
+
+    def one_chunk(s, direction, H0, step_size, invmm, n_leaf, done, cond, m):
+        invmmb = jnp.broadcast_to(jnp.asarray(invmm, s["x"].dtype),
+                                  s["x"].shape)
+        body = partial(_leaf_body,
+                       logdensity_fn=lambda v: logdensity_fn(v, cond),
+                       unravel=unravel, step_size=step_size, invmm=invmmb,
+                       H0=H0, direction=direction,
+                       divergence_threshold=divergence_threshold,
+                       max_depth=max_depth)
+
+        def gstep(s, _):
+            new = body(s)
+            act = _leaf_cond(s, n_leaf) & ~done
+            s = jax.tree.map(partial(_where_leaf, act), new, s)
+            return s, None
+
+        return lax.scan(gstep, s, None, length=m)[0]
+
+    def one_active(s, n_leaf, done):
+        return _leaf_cond(s, n_leaf) & ~done
+
+    def one_merge(c, s, direction, key_take, invmm):
+        invmmb = jnp.broadcast_to(jnp.asarray(invmm, s["x"].dtype),
+                                  s["x"].shape)
+        sub = _subtree_final(s, direction)
+        new_tree = _double_merge(c["tree"], sub, direction, key_take, invmmb)
+        tree = jax.tree.map(partial(_where_leaf, c["done"]), c["tree"],
+                            new_tree)
+        depth = jnp.where(c["done"], c["depth"], c["depth"] + 1)
+        done = c["done"] | new_tree.turning | new_tree.diverging
+        return {**c, "tree": tree, "depth": depth, "done": done}
+
+    def one_final(c):
+        tree = c["tree"]
+        new = HMCState(unravel(tree.x_prop), tree.ld_prop,
+                       unravel(tree.g_prop))
+        n_int = tree.n_leaves - 1
+        info = dict(acceptance_rate=tree.sum_acc / jnp.maximum(n_int, 1),
+                    num_integration_steps=n_int,
+                    is_divergent=tree.diverging, depth=c["depth"],
+                    energy=-tree.ld_prop)
+        return new, info
+
+    p_init = jax.jit(jax.vmap(one_init))
+    p_prep = jax.jit(jax.vmap(one_prep))
+    p_active = jax.jit(jax.vmap(one_active))
+    p_merge = jax.jit(jax.vmap(one_merge))
+    p_final = jax.jit(jax.vmap(one_final))
+    p_chunks = {m: jax.jit(jax.vmap(partial(one_chunk, m=m)))
+                for m in ({1 << k for k in range(m_max.bit_length())})}
+
+    def step(keys, state, step_size, invmm, cond):
+        c = p_init(keys, state, invmm)
+        n_chains = keys.shape[0]
+        for depth in range(max_depth):
+            c, s, direction, key_take = p_prep(c)
+            n_leaf = jnp.full((n_chains,), 1 << depth, jnp.int32)
+            off = 0
+            while off < (1 << depth):
+                m = min(m_max, (1 << depth) - off)
+                s = p_chunks[m](s, direction, c["H0"], step_size, invmm,
+                                n_leaf, c["done"], cond)
+                off += m
+                if off < (1 << depth) and not np.asarray(
+                        p_active(s, n_leaf, c["done"])).any():
+                    break
+            c = p_merge(c, s, direction, key_take, invmm)
+            if np.asarray(c["done"]).all():
+                break
+        return p_final(c)
+
+    return step
 
 
 def _popcount(i):
