@@ -659,12 +659,44 @@ def find_reasonable_step_size(logdensity_fn, position, rng_key,
     return bracket_final(carry)
 
 
+def _wa_post(carry, info, upd, slow, target_acceptance_rate=0.65):
+    """Post-kernel window-adaptation update for ONE step: dual averaging,
+    Welford within slow windows, mass refresh at slow-window ends.  Shared
+    by the in-program scan (`_wa_chunk`) and the host-driven NUTS warmup
+    (identical trajectories by construction)."""
+    state, da, invmm, welford = carry
+    d = _ravel(state.position)[0].shape[0]
+    da = _da_update(da, info["acceptance_rate"], target=target_acceptance_rate)
+
+    # Welford within slow windows
+    n, mean, m2 = welford
+    x = _ravel(state.position)[0]
+    n1 = n + slow
+    delta = x - mean
+    mean = mean + slow * delta / jnp.maximum(n1, 1)
+    m2 = m2 + slow * delta * (x - mean)
+    welford = (n1, mean, m2)
+
+    # refresh mass at slow-window ends, reset Welford and dual averaging
+    def refresh(args):
+        da, invmm, (n, mean, m2) = args
+        var = m2 / jnp.maximum(n - 1, 1)
+        var = jnp.where(n > 1, var * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0)),
+                        invmm)
+        da = _da_init(jnp.exp(da.log_eps))
+        return da, var, (jnp.zeros(()), jnp.zeros(d, x.dtype),
+                         jnp.zeros(d, x.dtype))
+
+    da, invmm, welford = lax.cond(upd, refresh, lambda a: a,
+                                  (da, invmm, welford))
+    return (state, da, invmm, welford)
+
+
 def _wa_chunk(carry, xs, kernel_factory, logdensity_fn,
               target_acceptance_rate=0.65, **kernel_kwargs):
     """Scan a chunk of window-adaptation steps; xs = (keys, update, slow)
     slices of the precomputed schedule. Pure and vmappable; host-level
     chunking (axon program-length limit) keeps the trajectory identical."""
-    d = _ravel(carry[0].position)[0].shape[0]
 
     def step(carry, xs):
         key, upd, slow = xs
@@ -672,28 +704,9 @@ def _wa_chunk(carry, xs, kernel_factory, logdensity_fn,
         kernel = kernel_factory(logdensity_fn, jnp.exp(da.log_eps), invmm,
                                 **kernel_kwargs)
         state, info = kernel(key, state)
-        da = _da_update(da, info["acceptance_rate"], target=target_acceptance_rate)
-
-        # Welford within slow windows
-        n, mean, m2 = welford
-        x = _ravel(state.position)[0]
-        n1 = n + slow
-        delta = x - mean
-        mean = mean + slow * delta / jnp.maximum(n1, 1)
-        m2 = m2 + slow * delta * (x - mean)
-        welford = (n1, mean, m2)
-
-        # refresh mass at slow-window ends, reset Welford and dual averaging
-        def refresh(args):
-            da, invmm, (n, mean, m2) = args
-            var = m2 / jnp.maximum(n - 1, 1)
-            var = jnp.where(n > 1, var * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0)),
-                            invmm)
-            da = _da_init(jnp.exp(da.log_eps))
-            return da, var, (jnp.zeros(()), jnp.zeros(d, x.dtype), jnp.zeros(d, x.dtype))
-
-        da, invmm, welford = lax.cond(upd, refresh, lambda a: a, (da, invmm, welford))
-        return (state, da, invmm, welford), dict(
+        carry = _wa_post((state, da, invmm, welford), info, upd, slow,
+                         target_acceptance_rate)
+        return carry, dict(
             acceptance_rate=info["acceptance_rate"],
             num_integration_steps=info.get("num_integration_steps", 0),
             position=state.position)

@@ -126,6 +126,17 @@ def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
         return _warmup_carry0(state, config, flat.dtype, d)
 
     carry = jit(vmap(init_carry))(init_seeds, pos)
+    # surface the f32 energy-noise floor (mclmc._warmup_chunk clamps the
+    # per-dim target to it): operators should know the requested target is
+    # unreachable at this |logpdf| rather than read it off a frozen chain
+    _d = carry[1].inverse_mass_matrix.shape[-1]
+    _eps = float(jnp.finfo(carry[1].step_size.dtype).eps)
+    _labs = float(np.abs(np.asarray(carry[0].logdensity)).max())
+    _floor = 25.0 * (2.0 * _eps * _labs) ** 2 / 6.0 / _d
+    if _floor > desired_energy_var:
+        print(f"  warmup: f32 energy-noise floor {_floor:.1e}/dim exceeds "
+              f"desired_energy_var {desired_energy_var:.1e} — tuner clamped "
+              f"to the floor (|logpdf| ~ {_labs:.2e}, d={_d})", flush=True)
     chunk1 = jit(vmap(partial(_warmup_chunk, stream_moments=False,
                               logdf=logpdf,
                               desired_energy_var=desired_energy_var)))
@@ -350,25 +361,58 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
         import time as _time
 
         carry = jit(vmap(carry0))(p_block, rest, eps0, invmm0)
-        chunk_jit = jit(vmap(chunk))  # hoisted: one compile per segment size
-        chunks = _AdaptiveChunks(max(1, MAX_STEPS_PER_CALL // 32),
-                                 cap=max(MAX_STEPS_PER_CALL, 1))
-        i = 0
-        while i < n_steps:
-            seg = chunks.next(n_steps - i)
-            _t0 = _time.time()
-            xs = (block_keys[name][:, i:i + seg],
-                  jnp.broadcast_to(update_now[i:i + seg], (n_chains, seg)),
-                  jnp.broadcast_to(in_slow[i:i + seg], (n_chains, seg)))
-            carry, hist = chunk_jit(carry, xs, rest)
-            # the float() transfer forces execution (axon dispatch is lazy
-            # until the first device->host transfer) — the timing is honest
-            n_evals += float(jnp.sum(hist["num_integration_steps"]))
-            _dt = _time.time() - _t0
-            i += seg
-            chunks.update(seg, _dt)
-            print(f"  nuts warmup [{name}] {i}/{n_steps} "
-                  f"({_dt:.1f}s, next chunk {chunks.seg})", flush=True)
+        host_m = int(os.environ.get("MONTECOSMO_NUTS_EVALS_PER_PROGRAM", 0))
+        if host_m:
+            # sub-step host chunking: on expensive models (N-body at >= 64^3)
+            # a SINGLE NUTS step exceeds the axon program-kill window, so the
+            # doubling/leaf loops run at the host level — identical
+            # transition (tests/test_nuts_host.py), identical adaptation
+            # (shared _wa_post)
+            from montecosmo_tpu.samplers.hmc import (
+                _wa_post, nuts_host_transition)
+
+            pos_like = jax.tree.map(lambda v: v[0], p_block)
+            trans = nuts_host_transition(
+                lambda v, other: logpdf({**other, **v}), pos_like,
+                evals_per_program=host_m)
+            p_post = jit(vmap(partial(_wa_post,
+                                      target_acceptance_rate=target)))
+            p_ss = jit(vmap(lambda da: jnp.exp(da.log_eps)))
+            for i in range(n_steps):
+                _t0 = _time.time()
+                state_b, da, invmm_b, welford = carry
+                state_b, info = trans(block_keys[name][:, i], state_b,
+                                      p_ss(da), invmm_b, rest)
+                carry = p_post(
+                    (state_b, da, invmm_b, welford), info,
+                    jnp.broadcast_to(update_now[i], (n_chains,)),
+                    jnp.broadcast_to(in_slow[i], (n_chains,)))
+                n_evals += float(jnp.sum(info["num_integration_steps"]))
+                if (i + 1) % 8 == 0 or i + 1 == n_steps:
+                    print(f"  nuts warmup [{name}] {i + 1}/{n_steps} "
+                          f"({_time.time() - _t0:.1f}s/step, "
+                          f"{float(jnp.sum(info['num_integration_steps'])):.0f} evals)",
+                          flush=True)
+        else:
+            chunk_jit = jit(vmap(chunk))  # hoisted: 1 compile per segment size
+            chunks = _AdaptiveChunks(max(1, MAX_STEPS_PER_CALL // 32),
+                                     cap=max(MAX_STEPS_PER_CALL, 1))
+            i = 0
+            while i < n_steps:
+                seg = chunks.next(n_steps - i)
+                _t0 = _time.time()
+                xs = (block_keys[name][:, i:i + seg],
+                      jnp.broadcast_to(update_now[i:i + seg], (n_chains, seg)),
+                      jnp.broadcast_to(in_slow[i:i + seg], (n_chains, seg)))
+                carry, hist = chunk_jit(carry, xs, rest)
+                # the float() transfer forces execution (axon dispatch is lazy
+                # until the first device->host transfer) — the timing is honest
+                n_evals += float(jnp.sum(hist["num_integration_steps"]))
+                _dt = _time.time() - _t0
+                i += seg
+                chunks.update(seg, _dt)
+                print(f"  nuts warmup [{name}] {i}/{n_steps} "
+                      f"({_dt:.1f}s, next chunk {chunks.seg})", flush=True)
         state[name], config[name] = jit(vmap(_wa_finalize))(carry)
         others = {**others, **state[name].position}
 
@@ -614,6 +658,11 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
 
     def _make_runner(seg):
         if sampler == "nuts":
+            host_m = int(os.environ.get(
+                "MONTECOSMO_NUTS_EVALS_PER_PROGRAM", 0))
+            if host_m:
+                return _make_nuts_host_runner(model.logpdf, config, n_chains,
+                                              seg, host_m)
             from montecosmo_tpu.samplers import nutswg_init
             from montecosmo_tpu.samplers.hmc import sampling_loop_general
 
@@ -739,6 +788,62 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
 def _to_savable(v):
     from montecosmo_tpu.utils.io import to_np
     return to_np(v)
+
+
+def _make_nuts_host_runner(logpdf, config, n_chains, seg, host_m):
+    """NUTS-within-Gibbs sweeps via the HOST-driven transition: each
+    <=host_m-leapfrog leaf chunk is its own device program, so expensive
+    models (one eval > seconds) survive the axon program-runtime kill that
+    a whole-sweep program would trip.  Same sweep semantics as
+    `sampling_loop_general` over `mwg_kernel_general` (per-sweep block
+    re-init at the updated union, then one NUTS transition per block);
+    per-sweep host transfers bound the loss to one sweep on a worker kill.
+    """
+    from montecosmo_tpu.samplers.hmc import hmc_init, nuts_host_transition
+
+    trans, p_binit = {}, {}
+
+    def runner(key, st):
+        names = list(st.keys())
+        for k in names:
+            if k not in trans:
+                pos_like = jax.tree.map(lambda v: v[0], st[k].position)
+                trans[k] = nuts_host_transition(
+                    lambda v, other: logpdf({**other, **v}), pos_like,
+                    evals_per_program=host_m)
+                p_binit[k] = jit(vmap(
+                    lambda pos, other: hmc_init(
+                        pos, lambda v, _o=other: logpdf({**_o, **v}))))
+        state = dict(st)
+        sweep_keys = jit(vmap(lambda s: jr.split(s, seg)))(
+            jr.split(key, n_chains))                         # (C, seg)
+        parts = []
+        for i in range(seg):
+            bkeys = jit(vmap(lambda s: jr.split(s, len(names))))(
+                sweep_keys[:, i])
+            nev = np.zeros(n_chains)
+            for j, k in enumerate(names):
+                union = {}
+                for kk in names:
+                    union |= state[kk].position
+                others = {kk: v for kk, v in union.items()
+                          if kk not in state[k].position}
+                # re-init the block at the updated union (1 eval program)
+                state[k] = p_binit[k](state[k].position, others)
+                state[k], info = trans[k](
+                    bkeys[:, j], state[k], config[k]["step_size"],
+                    config[k]["inverse_mass_matrix"], others)
+                nev = nev + np.asarray(info["num_integration_steps"])
+            union = {}
+            for kk in names:
+                union |= state[kk].position
+            parts.append({**{kk: np.asarray(v) for kk, v in union.items()},
+                          "logdensity": np.asarray(state[names[-1]].logdensity),
+                          "n_evals": nev})
+        part = jax.tree.map(lambda *xs: np.stack(xs, axis=1), *parts)
+        return state, part
+
+    return runner
 
 
 # ---------------------------------------------------------------------------
