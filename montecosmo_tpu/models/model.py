@@ -237,8 +237,45 @@ class Model:
 
     # ------------------------------------------------------------------ densities
     def logpdf(self, params={}):
-        """Joint log-probability density at `params` (E[e^logpdf] = 1)."""
-        return ppl.log_density(self.model, (), {}, params)[0]
+        """Joint log-probability density at `params` (E[e^logpdf] = 1).
+
+        If `recenter_logpdf` was called, the value is shifted by a fixed
+        constant (per-site zero-points) so the reduction sums O(1) terms —
+        see ppl.log_density; posterior and gradients are unchanged.
+        """
+        return ppl.log_density(self.model, (), {}, params,
+                               zero_point=getattr(self, "_lp_zero", None))[0]
+
+    def recenter_logpdf(self, params=None, enable=True):
+        """Set per-site scalar zero-points c = mean elementwise log-prob at
+        `params` (typically the fiducial + observed data), making every
+        subsequent `logpdf` sum (lp - c) elementwise.
+
+        Why: at 64^3+ the joint log-density totals O(1e6-1e8) while samplers
+        difference it per step; float32 quantization of the TOTAL (ulp ~
+        2e-7 |logpdf|) then swamps energy-change measurements (~0.5 of pure
+        noise at 64^3 — the tuner chases it into step-size collapse, and the
+        MCLMC noise-floor clamp must back the energy target off to ~d-scaled
+        values).  Recentring shrinks |logpdf| to ~sqrt(N), restoring the
+        reference's f64 operating point (desired_energy_var 1e-7/dim,
+        reference run/infer.py:53-54) in f32.  The zero-points are Python
+        floats — scalar literals in every downstream jit, no device-resident
+        closure constants (axon upload cap, CLAUDE.md rule 3).
+
+        Returns the zero-point dict (or None when disabled).
+        """
+        if not enable:
+            self._lp_zero = None
+            return None
+
+        def site_means(p):
+            lps, _ = ppl.compute_log_probs(self.model, (), {}, p,
+                                           sum_log_prob=False)
+            return {k: jnp.mean(v) for k, v in lps.items()}
+
+        means = jax.jit(site_means)(params if params is not None else {})
+        self._lp_zero = {k: float(v) for k, v in means.items()}
+        return self._lp_zero
 
     def potential(self, params={}):
         return -self.logpdf(params)
@@ -261,10 +298,14 @@ class Model:
         import jax as _jax
 
         def stage_lp(handler):
+            zp = getattr(self, "_lp_zero", None) or {}
             lp = 0.0
-            for site in handler._trace.values():
+            for name, site in handler._trace.items():
                 if site["type"] == "sample":
-                    lp += jnp.sum(site["fn"].log_prob(site["value"]))
+                    site_lp = site["fn"].log_prob(site["value"])
+                    c = zp.get(name)  # same recentring as logpdf: staged
+                    # value+grad must match the monolithic one exactly
+                    lp += jnp.sum(site_lp if c is None else site_lp - c)
             return lp
 
         def s1(params):

@@ -171,17 +171,29 @@ class block(Messenger):
 
 
 # ----------------------------------------------------------------------- densities
-def log_density(model, model_args, model_kwargs, params):
+def log_density(model, model_args, model_kwargs, params, zero_point=None):
     """Joint log-density of the model at `params` (all sites substituted).
 
     Returns (log_joint, trace) like numpyro's `log_density`.
+
+    `zero_point` (optional dict site name -> scalar) recentres each site's
+    ELEMENTWISE log-probs before the reduction: sum(lp - c) instead of
+    sum(lp).  The result shifts by the constant sum(numel*c) — posterior and
+    gradients are untouched — but the reduction now accumulates O(1)-
+    magnitude terms instead of an O(N)-magnitude total, so the float32
+    quantization of the returned value drops from ~eps*N*|mean lp| to
+    ~eps*sqrt(N).  Samplers that difference log-densities (MCLMC energy
+    control, MH accepts) need this at large mesh sizes; the f64 reference
+    implementation doesn't (its eps is 2^-52).
     """
     tr = trace(substitute(seed(model, jr.key(0)), data=params)).get_trace(
         *model_args, **model_kwargs)
     log_joint = 0.0
-    for site in tr.values():
+    for name, site in tr.items():
         if site["type"] == "sample":
-            log_joint += jnp.sum(site["fn"].log_prob(site["value"]))
+            lp = site["fn"].log_prob(site["value"])
+            c = None if zero_point is None else zero_point.get(name)
+            log_joint += jnp.sum(lp if c is None else lp - c)
     return log_joint, tr
 
 

@@ -69,7 +69,15 @@ def _momentum_update(u, grad_flat, sqrt_invmm, step_size):
     z = jnp.exp(-delta)
     u_new = e * (1 - z) * (1 + z + c * (1 - z)) + 2 * z * u
     u_new = u_new / jnp.linalg.norm(u_new)
-    dKE = (d - 1) * (delta - jnp.log(2) + jnp.log(1 + c + (1 - c) * z**2))
+    # dKE = (d-1)(delta - log 2 + log(1 + c + (1-c) z^2)), rewritten via
+    # 1 + c + (1-c) z^2 = 2 (1 + (1-c)(z^2-1)/2) so the log is evaluated as
+    # log1p of an O(delta) quantity instead of log of ~2: the naive form's
+    # f32 quantization (~eps per log) is amplified by (d-1) — ~0.1 of pure
+    # noise per momentum update at d ~ 1e6, which poisons the tuner's
+    # energy-change measurements at exactly the step sizes where the true
+    # signal is O(0.3).  Mathematically identical; relative error ~eps/|c|.
+    z2m1 = jnp.expm1(-2.0 * delta)  # z^2 - 1, no cancellation for small delta
+    dKE = (d - 1) * (delta + jnp.log1p(0.5 * (1 - c) * z2m1))
     return u_new, dKE
 
 
@@ -210,7 +218,21 @@ def _warmup_chunk(carry, keys, stream_moments, logdf, desired_energy_var=5e-4,
                 state, next_state, step_size_max, info["energy_change"],
                 params.step_size)
 
-            xi = energy_change**2 / (d * desired_energy_var) + 1e-8
+            # f32 energy-measurement noise floor: energy_change subtracts two
+            # logdensities of magnitude |L| whose float32 quantization
+            # (ulp <= 2*eps*|L|, eps = 2^-23) puts ~ulp^2/6 of variance into
+            # every measurement.  Chasing a desired_energy_var below that
+            # floor collapses the step size toward zero (observed: 64^3
+            # quad-Gauss campaign, |logpdf| ~ 4.7e6 -> quantization ~ 0.5 vs
+            # the 1e-7/dim full-warmup target de ~ 0.3; ss fell 5e-3 ->
+            # 4e-6 and the chains froze).  Clamp the per-dim target so the
+            # true signal stays >~5x the noise RMS; in f64 the floor is
+            # ~1e-31 and the clamp is exactly a no-op — the f64 reference
+            # (run/infer.py:76) never hits this.
+            eps_mach = jnp.finfo(energy_change.dtype).eps
+            noise_var = (2.0 * eps_mach * jnp.abs(state.logdensity)) ** 2 / 6.0
+            dev_eff = jnp.maximum(desired_energy_var, 25.0 * noise_var / d)
+            xi = energy_change**2 / (d * dev_eff) + 1e-8
             log_xi = jnp.log(xi)
             valid = jnp.isfinite(log_xi)  # guarded bad steps carry xi = inf
             log_xi = jnp.where(valid, log_xi, 0.0)

@@ -65,6 +65,16 @@ def main():
         x = x.reshape(x.shape[0], -1)  # (chains, samples)
         ess = float(np.asarray(effective_sample_size(jnp.asarray(x))))
         report[key] = ess
+        # frozen-chain guard: a per-chain sd orders of magnitude below the
+        # cross-chain spread means the sampler barely moved (ESS ~ n_chains
+        # then measures chain COUNT, not mixing) — seen when the MCLMC
+        # tuner collapsed the step size (BENCH_NOTES f32 noise post-mortem)
+        within = x.std(axis=1).mean()
+        between = x.mean(axis=1).std() + 1e-30
+        if x.shape[0] > 1 and within < 1e-3 * between:
+            print(f"  WARNING {key}: chains look FROZEN "
+                  f"(within-chain sd {within:.2e} << between-chain "
+                  f"{between:.2e}); ESS/hour below is meaningless")
 
     hours = args.wall_s / 3600.0
     print(f"runs: {len(files)}, chains x samples: {x.shape}, "

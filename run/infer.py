@@ -28,7 +28,7 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
           n_chains=4, tune_mass=True, n_steps_field=2**12, dev_field=1e-5,
           n_steps_full=2**13, dev_full=1e-7, n_samples=None, n_runs=8,
           thinning=64, scale_fid_fac=1.0, save_root="results",
-          sampler="mclmc", observable="field"):
+          sampler="mclmc", observable="field", recenter=True):
     import jax
     from jax import config as jconfig, devices as jdevices, numpy as jnp
 
@@ -138,6 +138,21 @@ def infer(register, png_type=None, lik_type="quad_gauss", evolution="lpt",
         print(f"fiducial check skipped (transient axon compile failure): "
               f"{str(_e)[:80]}\n")
 
+    if recenter:
+        # recentre the logpdf at the fiducial: samplers difference log-
+        # densities per step, and at 64^3+ the f32 quantization of the
+        # O(1e6) raw total (~0.5) swamps the energy-change signal (the first
+        # ess64 campaign's tuner collapsed the step size 1000x chasing it).
+        # Constant shift only — posterior, gradients, and chains unchanged.
+        try:
+            zp = model.recenter_logpdf(
+                jax.jit(lambda d: model.reparam(d, inv=True))(_fid))
+            print(f"logpdf recentred at fiducial ({len(zp)} site "
+                  f"zero-points)\n")
+        except Exception as _e:
+            print(f"logpdf recentring skipped (transient compile failure): "
+                  f"{str(_e)[:80]}\n")
+
     # -------------------------------------------------- inference
     params = model.fiduc | {"white_mesh": model.white_mesh} | model.obs_data()
     obs = {k: params[k] for k in obs_names if k in params}
@@ -203,6 +218,9 @@ def main():
                     choices=["mclmc", "mams", "nuts"],
                     help="phase-2/3 sampler (phase 1 stays MCLMC)")
     ap.add_argument("--save-root", default="results")
+    ap.add_argument("--no-recenter", action="store_true",
+                    help="disable the f32 logpdf recentring (constant "
+                         "zero-point shift set at the fiducial)")
     ap.add_argument("--spatial-mesh", type=int, default=0,
                     help="shard the model spatially over this many devices "
                          "(parallel.context.mesh_context around the whole "
@@ -267,7 +285,7 @@ def run_infer(args, obs_names):
           n_steps_full=args.n_steps_full, n_samples=args.n_samples,
           n_runs=args.n_runs, thinning=args.thinning,
           save_root=args.save_root, sampler=args.sampler,
-          observable=args.observable)
+          observable=args.observable, recenter=not args.no_recenter)
 
 
 if __name__ == "__main__":

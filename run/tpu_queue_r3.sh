@@ -38,6 +38,17 @@ job_mclmc64() {
     --n-steps-full 2048 --n-runs 2 --n-samples 128 --thinning 32 \
     --expe ess64
 }
+# config-4 re-run with the MCLMC f32 energy-noise-floor fix (the first ess64
+# campaign's full-warmup step size collapsed 5e-3 -> 4e-6 chasing a 1e-7/dim
+# target below the f32 quantization of |logpdf| ~ 4.7e6; chains froze).
+# Fresh expe name: must NOT resume the broken warmup caches.
+job_mclmc64b() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 timeout 21600 \
+    python run/infer.py --register "$REG" --evolution lpt \
+    --lik-type quad_gauss --self-data --n-chains 4 --n-steps-field 1024 \
+    --n-steps-full 2048 --n-runs 2 --n-samples 128 --thinning 32 \
+    --expe ess64b
+}
 job_nuts64() {
   MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=6 \
     timeout 21600 python run/infer.py --register "$REG" --evolution nbody \
@@ -45,17 +56,27 @@ job_nuts64() {
     --n-runs 2 --n-samples 64 --thinning 2 --expe nuts64 \
     --obs $OBS3
 }
-# config-3 at 32^3: one NUTS step is ONE device program; at 64^3 N-body
-# (~2.4 s/eval) even an 8-eval tree breaches the ~30-60 s program kill, so
-# the single-program kernel tops out at 32^3 (~0.3 s/eval, depth-5 trees
-# ~19 s).  64^3+ needs the host-chunked NUTS step (in progress).
+# config-3 at 32^3 with the HOST-driven NUTS step (each <=8-leapfrog leaf
+# chunk is its own device program — no single program can breach the
+# ~30-60 s axon kill regardless of tree depth)
 job_nuts32() {
-  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=5 \
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=6 \
+    MONTECOSMO_NUTS_EVALS_PER_PROGRAM=8 \
     timeout 21600 python run/infer.py \
     --register registered/register_synthetic_z1.000_b32_p0.h5 \
     --evolution nbody --sampler nuts --self-data --n-chains 2 \
     --n-steps-full 200 --n-runs 2 --n-samples 64 --thinning 2 \
     --expe nuts32 --obs $OBS3
+}
+# reduced 64^3 N-body NUTS (host-chunked, ~2.4 s/eval): feasibility +
+# ESS/hour at the VERDICT target scale; budgets trimmed to fit a round
+job_nuts64host() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=5 \
+    MONTECOSMO_NUTS_EVALS_PER_PROGRAM=4 \
+    timeout 21600 python run/infer.py --register "$REG" \
+    --evolution nbody --sampler nuts --self-data --n-chains 2 \
+    --n-steps-full 100 --n-runs 2 --n-samples 16 --thinning 2 \
+    --expe nuts64h --obs $OBS3
 }
 
 run_job() {
@@ -79,7 +100,7 @@ JOBS=${*:-"pm256 nbody128 mclmc64 nuts64 bench192"}
 for j in $JOBS; do
   case $j in
     pm256|pm128|nbody128|bench128|bench192) run_job "$j" 2 ;;
-    mclmc64|nuts64|nuts32) run_job "$j" 3 ;;
+    mclmc64|mclmc64b|nuts64|nuts32|nuts64host) run_job "$j" 3 ;;
     *) echo "unknown job $j" >>"$LOG" ;;
   esac
 done

@@ -81,6 +81,42 @@ def test_logpdf_grad(model):
     assert float(jnp.abs(g["white_mesh_"]).max()) > 0
 
 
+def test_recenter_logpdf(model):
+    """recenter_logpdf shifts logpdf by a CONSTANT (per-site scalar
+    zero-points — the f32 large-mesh energy-difference fix) and leaves
+    gradients and the staged value+grad untouched."""
+    params = _fiducial_params(model)
+    obs = {"count_mesh": params["count_mesh"]}
+    lat = {k: jnp.asarray(v) for k, v in params.items() if k != "count_mesh"}
+    params2 = dict(params)
+    params2["white_mesh_"] = params["white_mesh_"] * 0.9 + 0.05
+
+    lp_a0 = float(jax.jit(model.logpdf)(params))
+    lp_b0 = float(jax.jit(model.logpdf)(params2))
+    g0 = jax.jit(jax.grad(lambda p: model.logpdf({**p, **obs})))(lat)
+    try:
+        zp = model.recenter_logpdf(params)
+        assert zp and all(np.isfinite(v) for v in zp.values()), zp
+        # at the zeroing point the recentred logpdf is ~0 by construction
+        lp_a1 = float(jax.jit(model.logpdf)(params))
+        assert abs(lp_a1) < 1e-3 * abs(lp_a0), (lp_a1, lp_a0)
+        # same constant shift at any other point
+        lp_b1 = float(jax.jit(model.logpdf)(params2))
+        np.testing.assert_allclose(lp_b1 - lp_a1, lp_b0 - lp_a0,
+                                   atol=2e-6 * abs(lp_b0))
+        # gradients unchanged
+        g1 = jax.jit(jax.grad(lambda p: model.logpdf({**p, **obs})))(lat)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            s = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b / s, a / s, atol=1e-5, err_msg=k)
+        # staged value+grad applies the same zero-points
+        v, g = model.value_and_grad_staged()(params)
+        np.testing.assert_allclose(float(v), lp_a1, atol=1e-5 * abs(lp_a0))
+    finally:
+        model._lp_zero = None
+
+
 def test_reparam_roundtrip(model):
     pred = model.predict(seed=1, hide_base=False, hide_det=False, hide_samp=False)
     samp_names = set().union(*model.groups_.values())

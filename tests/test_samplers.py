@@ -49,6 +49,37 @@ def test_mclmc_warmup_and_run():
     assert np.all(np.asarray(samples["n_evals"]) == 16)  # 2 grads x thinning 8
 
 
+def test_mclmc_warmup_f32_noise_floor():
+    """A large constant |logpdf| (f32 quantization ~ ulp ~ 2 eps |logpdf|)
+    must not collapse the tuned step size when desired_energy_var sits below
+    the energy-measurement noise floor — the 64^3 quad-Gauss campaign
+    failure mode (ss fell 5e-3 -> 4e-6 and the chains froze).  The tuner
+    clamps the per-dim target to ~25x the quantization noise."""
+    OFF = jnp.float32(5e6)  # ulp ~ 0.5: any de below that is pure noise
+
+    def logdf_off(x):
+        return logdf_gauss(x) - OFF
+
+    # reference: same tight target at |logpdf| ~ 1 (floor inactive)
+    _, cfg_ref = get_mclmc_warmup(
+        logdf_gauss, n_steps=1000, desired_energy_var=1e-7)(
+            jr.key(0), init_pos())
+    _, cfg_off = get_mclmc_warmup(
+        logdf_off, n_steps=1000, desired_energy_var=1e-7)(
+            jr.key(0), init_pos())
+
+    ss_ref, ss_off = float(cfg_ref.step_size), float(cfg_off.step_size)
+    assert np.isfinite(ss_off) and ss_off > 0.1 * ss_ref, (ss_off, ss_ref)
+
+    # and the chain actually moves at the clamped operating point
+    _, samples = get_mclmc_run(logdf_off, n_samples=500, thinning=4)(
+        jr.key(1), *get_mclmc_warmup(logdf_off, n_steps=1000,
+                                     desired_energy_var=1e-7)(
+            jr.key(0), init_pos()))
+    xs = np.asarray(samples["x"])
+    assert np.all(xs.std(0) > 0.2 * np.asarray(SCALES)), xs.std(0)
+
+
 def test_mclmc_preconditioning():
     warmup = get_mclmc_warmup(logdf_gauss, n_steps=1500,
                               diagonal_preconditioning=True)
