@@ -342,6 +342,52 @@ def distr_radial(mesh, rmesh, cell_length, redges=None, aggr_fn=None):
     return rcount, rmean, maggr / cell_length**3
 
 
+def distr_angular(mesh, pos_mesh, n_costheta=12, n_phi=24, min_count=1,
+                  aggr_fn=None):
+    """Angular distribution of a mesh per steradian.
+
+    Bins cells by line-of-sight direction from the observer on an
+    equal-area (cos theta, phi) grid (every bin subtends 4 pi / n_bins sr)
+    and aggregates the mesh per bin — the angular companion of
+    `distr_radial` (the reference declares this and leaves it empty,
+    reference metrics.py:555-559).
+
+    Parameters: `pos_mesh` (..., 3) observer-centred cell positions;
+    `aggr_fn` overrides the default per-bin SUM (the default yields the
+    surface density d(sum mesh)/dOmega in 1/sr).
+
+    Returns (counts, (costheta_centers, phi_centers), aggregate) with one
+    entry per bin of >= min_count cells, flattened costheta-major.
+    """
+    mesh = np.asarray(mesh).reshape(-1)
+    pos = np.asarray(pos_mesh).reshape(-1, 3)
+    assert len(mesh) == len(pos), "mesh and pos_mesh must match."
+
+    r = np.maximum(np.sqrt((pos**2).sum(-1)), 1e-30)
+    cost = np.clip(pos[:, 2] / r, -1.0, 1.0)
+    phi = np.arctan2(pos[:, 1], pos[:, 0])  # (-pi, pi]
+    ic = np.minimum(((cost + 1.0) / 2.0 * n_costheta).astype(int),
+                    n_costheta - 1)
+    ip = np.minimum(((phi + np.pi) / (2 * np.pi) * n_phi).astype(int),
+                    n_phi - 1)
+    dig = ic * n_phi + ip
+    n_bins = n_costheta * n_phi
+
+    count = np.bincount(dig, minlength=n_bins)
+    keep = count >= min_count
+    solid = 4.0 * np.pi / n_bins  # equal-area binning
+    if aggr_fn is None:
+        aggr = np.bincount(dig, weights=mesh, minlength=n_bins) / solid
+    else:
+        aggr = np.array([aggr_fn(mesh[dig == i]) if keep[i] else 0.0
+                         for i in range(n_bins)])
+
+    cost_c = -1.0 + (np.arange(n_costheta) + 0.5) * 2.0 / n_costheta
+    phi_c = -np.pi + (np.arange(n_phi) + 0.5) * 2.0 * np.pi / n_phi
+    centers = (np.repeat(cost_c, n_phi)[keep], np.tile(phi_c, n_costheta)[keep])
+    return count[keep], centers, aggr[keep]
+
+
 # ----------------------------------------------------------------------- error bars
 def mean_errorbar(count, std, confidence=0.95, gaussian_approx=False):
     """(lo, hi) error bar on a sample mean (Student-t unless approximated)."""

@@ -138,3 +138,31 @@ def test_wigner3j_square_legendre_linearization():
     _, plain = wigner3j_square(2, 2, prefactor=False)
     np.testing.assert_allclose(
         with_pref, [5.0 / (2 * L + 1) * c for L, c in zip(ells, plain)])
+
+
+def test_distr_angular():
+    """Equal-area angular binning: an isotropic shell gives a flat per-
+    steradian density; a +z point source lands in the top costheta row."""
+    from montecosmo_tpu.metrics import distr_angular
+
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(40000, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    pos = u * rng.uniform(50.0, 100.0, size=(40000, 1))
+    mesh = np.ones(len(pos))
+
+    count, (cost_c, phi_c), dens = distr_angular(mesh, pos, n_costheta=4,
+                                                 n_phi=8)
+    assert count.sum() == 40000 and len(count) == 32
+    # isotropy: every equal-area bin within ~6 sigma Poisson of the mean
+    expect = 40000 / (4 * np.pi)
+    assert np.all(np.abs(dens - expect) < 6 * np.sqrt(expect * 32 / (4 * np.pi))), dens
+    assert cost_c.min() == -0.75 and cost_c.max() == 0.75
+
+    # point source at +z: all mass in one top-row bin
+    src = np.asarray([[0.0, 0.0, 70.0]] * 10)
+    count, (cost_c, _), dens = distr_angular(np.full(10, 2.0), src,
+                                             n_costheta=4, n_phi=8)
+    assert len(count) == 1 and count[0] == 10
+    assert cost_c[0] == 0.75
+    np.testing.assert_allclose(dens[0], 20.0 / (4 * np.pi / 32))
