@@ -265,7 +265,7 @@ def _nuts_blocks(names):
 
 def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                            initial_step_size=None, target=0.8,
-                           initial_inverse_mass_matrix=None):
+                           initial_inverse_mass_matrix=None, ckpt_path=None):
     """Blocked NUTS window adaptation (Stan fast/slow/fast schedule), chunked
     into short device programs along the precomputed schedule.
 
@@ -277,6 +277,14 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
     (dict block name -> flat (d,) or (n_chains, d) vector), e.g. from the
     MCLMC phase-1 chain spread.  Device programs are sized adaptively from
     measured wall time (`_AdaptiveChunks`) under the axon program-kill limit.
+
+    `ckpt_path` enables mid-warmup checkpoint/resume (one file per Gibbs
+    block, derived from the stem): the adaptation carry is saved every
+    MONTECOSMO_RUN_CKPT_EVERY steps/chunks and at block completion, and a
+    rerun resumes bit-identically (per-step keys and the window schedule are
+    precomputed from the seed).  N-body NUTS warmups run for hours at
+    ~45 s/step on the axon runtime, whose worker can die at any program —
+    without this, a kill at step 176/200 restarts from zero (observed).
 
     Returns (state: {block: HMCState} batched over chains,
              config: {block: {step_size, inverse_mass_matrix}},
@@ -295,12 +303,40 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
         jr.split(jr.fold_in(key, i), n_chains))
         for i, name in enumerate(blocks)}
 
+    ckpt_path = Path(ckpt_path) if ckpt_path else None
+    ckpt_every = int(os.environ.get("MONTECOSMO_RUN_CKPT_EVERY", 8))
+
+    def _bckpt(name):
+        return (ckpt_path.parent / f"{ckpt_path.stem}_{name}.h5"
+                ) if ckpt_path is not None else None
+
+    def _save_carry(path, carry, i, evals):
+        # atomic replace: a worker kill mid-write must not corrupt the resume
+        tmp = path.with_suffix(".tmp.h5")
+        h5save(tmp, {"_i": np.int64(i), "_evals": np.float64(evals),
+                     **{f"l{j}": v
+                        for j, v in enumerate(jax.tree.leaves(carry))}})
+        os.replace(tmp, path)
+
     state, config = {}, {}
     others = dict(pos)  # running per-chain values of the not-yet-warmed blocks
     n_evals = 0.0
     for i_block, (name, keys) in enumerate(blocks.items()):
         p_block = {k: others[k] for k in blocks[name]}
         rest = {k: v for k, v in others.items() if k not in blocks[name]}
+
+        bckpt = _bckpt(name)
+        start_i, saved_leaves = 0, None
+        if bckpt is not None and bckpt.exists():
+            try:
+                saved_leaves = h5load(bckpt)
+                start_i = int(np.asarray(saved_leaves["_i"]))
+                n_evals = float(np.asarray(saved_leaves["_evals"]))
+            except (OSError, KeyError) as exc:  # killed mid-write
+                print(f"  nuts warmup [{name}]: unreadable checkpoint "
+                      f"({exc}); restarting block", flush=True)
+                start_i, saved_leaves = 0, None
+                bckpt.unlink()
 
         invmm0 = (initial_inverse_mass_matrix or {}).get(name)
         if invmm0 is None:
@@ -310,7 +346,9 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
             if invmm0.ndim <= 1:  # shared across chains
                 invmm0 = jnp.broadcast_to(invmm0, (n_chains, *invmm0.shape))
 
-        if initial_step_size is None:
+        if start_i:
+            eps0 = None  # carry restored from checkpoint; bracket not needed
+        elif initial_step_size is None:
             eps_keys = jr.split(jr.fold_in(key, 1000 + i_block), n_chains)
             if MAX_STEPS_PER_CALL:
                 # host-chunked search: one gradient eval per device program
@@ -360,7 +398,19 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
 
         import time as _time
 
-        carry = jit(vmap(carry0))(p_block, rest, eps0, invmm0)
+        if start_i:
+            # rebuild the carry pytree from the checkpoint: eval_shape gives
+            # the treedef without running the model
+            tmpl = jax.eval_shape(
+                vmap(carry0), p_block, rest,
+                jax.ShapeDtypeStruct((n_chains,), invmm0.dtype), invmm0)
+            leaves = [jnp.asarray(saved_leaves[f"l{j}"])
+                      for j in range(len(jax.tree.leaves(tmpl)))]
+            carry = jax.tree.unflatten(jax.tree.structure(tmpl), leaves)
+            print(f"  nuts warmup [{name}] resuming at {start_i}/{n_steps}",
+                  flush=True)
+        else:
+            carry = jit(vmap(carry0))(p_block, rest, eps0, invmm0)
         host_m = int(os.environ.get("MONTECOSMO_NUTS_EVALS_PER_PROGRAM", 0))
         if host_m:
             # sub-step host chunking: on expensive models (N-body at >= 64^3)
@@ -378,7 +428,7 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
             p_post = jit(vmap(partial(_wa_post,
                                       target_acceptance_rate=target)))
             p_ss = jit(vmap(lambda da: jnp.exp(da.log_eps)))
-            for i in range(n_steps):
+            for i in range(start_i, n_steps):
                 _t0 = _time.time()
                 state_b, da, invmm_b, welford = carry
                 state_b, info = trans(block_keys[name][:, i], state_b,
@@ -393,11 +443,14 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                           f"({_time.time() - _t0:.1f}s/step, "
                           f"{float(jnp.sum(info['num_integration_steps'])):.0f} evals)",
                           flush=True)
+                if bckpt is not None and ckpt_every and (
+                        (i + 1) % ckpt_every == 0 or i + 1 == n_steps):
+                    _save_carry(bckpt, carry, i + 1, n_evals)
         else:
             chunk_jit = jit(vmap(chunk))  # hoisted: 1 compile per segment size
             chunks = _AdaptiveChunks(max(1, MAX_STEPS_PER_CALL // 32),
                                      cap=max(MAX_STEPS_PER_CALL, 1))
-            i = 0
+            i, n_chunk = start_i, 0
             while i < n_steps:
                 seg = chunks.next(n_steps - i)
                 _t0 = _time.time()
@@ -411,11 +464,20 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                 _dt = _time.time() - _t0
                 i += seg
                 chunks.update(seg, _dt)
+                n_chunk += 1
                 print(f"  nuts warmup [{name}] {i}/{n_steps} "
                       f"({_dt:.1f}s, next chunk {chunks.seg})", flush=True)
+                if bckpt is not None and ckpt_every and (
+                        n_chunk % ckpt_every == 0 or i >= n_steps):
+                    _save_carry(bckpt, carry, i, n_evals)
         state[name], config[name] = jit(vmap(_wa_finalize))(carry)
         others = {**others, **state[name].position}
 
+    if ckpt_path is not None:  # the finalized state supersedes the ckpts
+        for name in blocks:
+            b = _bckpt(name)
+            if b.exists():
+                b.unlink()
     return state, config, n_evals
 
 
@@ -554,7 +616,8 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             with phase("full_warmup"):
                 state, config, n_evals = _segmented_nuts_warmup(
                     model.logpdf, n_steps, n_chains, jr.key(seed), params_warm,
-                    initial_inverse_mass_matrix=seed_invmm)
+                    initial_inverse_mass_matrix=seed_invmm,
+                    ckpt_path=chains_dir / "full_warm_ckpt.h5")
             print(f"\nNUTS warmup n_evals: {n_evals:.3g}")
             for name, conf in config.items():
                 ss = jnp.median(conf["step_size"])

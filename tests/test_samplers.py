@@ -380,3 +380,57 @@ def test_segmented_warmup_ckpt_resume(rng, tmp_path, monkeypatch):
                                   np.asarray(ref[1].step_size))
     np.testing.assert_array_equal(np.asarray(resumed[0].position["x"]),
                                   np.asarray(ref[0].position["x"]))
+
+
+@pytest.mark.parametrize("host_m", ["0", "4"])
+def test_segmented_nuts_warmup_ckpt_resume(tmp_path, monkeypatch, host_m):
+    """A NUTS warmup killed mid-block resumes from its per-block checkpoint
+    with a bit-identical trajectory and evals accounting (per-step keys and
+    the window schedule are precomputed from the seed).  Covers both the
+    host-driven (MONTECOSMO_NUTS_EVALS_PER_PROGRAM) and the chunked branch."""
+    import montecosmo_tpu.script as script
+
+    def logdf(params):
+        return -0.5 * jnp.sum(params["x_"] ** 2)
+
+    n_chains, n_steps = 2, 24
+    pos = {"x_": jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_chains, 4)), jnp.float32)}
+    key = jr.key(5)
+    ckpt = tmp_path / "warm_ckpt.h5"
+
+    monkeypatch.setattr(script, "MAX_STEPS_PER_CALL", 6)
+    monkeypatch.setenv("MONTECOSMO_RUN_CKPT_EVERY", "1")
+    monkeypatch.setenv("MONTECOSMO_NUTS_EVALS_PER_PROGRAM", host_m)
+
+    ref_s, ref_c, ref_ev = script._segmented_nuts_warmup(
+        logdf, n_steps, n_chains, key, pos)
+
+    # crash at the 3rd checkpoint write: the 2nd checkpoint must remain
+    orig_h5save = script.h5save
+    calls = {"n": 0}
+
+    def crashing_h5save(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated worker kill")
+        return orig_h5save(*a, **kw)
+
+    monkeypatch.setattr(script, "h5save", crashing_h5save)
+    with pytest.raises(RuntimeError, match="simulated"):
+        script._segmented_nuts_warmup(logdf, n_steps, n_chains, key, pos,
+                                      ckpt_path=ckpt)
+    monkeypatch.setattr(script, "h5save", orig_h5save)
+    assert list(tmp_path.glob("warm_ckpt_*.h5"))
+
+    res_s, res_c, res_ev = script._segmented_nuts_warmup(
+        logdf, n_steps, n_chains, key, pos, ckpt_path=ckpt)
+    assert not list(tmp_path.glob("warm_ckpt_*.h5"))  # cleaned up at the end
+    np.testing.assert_array_equal(np.asarray(res_c["rest_"]["step_size"]),
+                                  np.asarray(ref_c["rest_"]["step_size"]))
+    np.testing.assert_array_equal(
+        np.asarray(res_c["rest_"]["inverse_mass_matrix"]),
+        np.asarray(ref_c["rest_"]["inverse_mass_matrix"]))
+    np.testing.assert_array_equal(np.asarray(res_s["rest_"].position["x_"]),
+                                  np.asarray(ref_s["rest_"].position["x_"]))
+    assert res_ev == ref_ev
