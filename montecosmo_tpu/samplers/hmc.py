@@ -39,10 +39,35 @@ def hmc_init(position, logdensity_fn):
     return HMCState(position, logdensity, grad)
 
 
+def _vel(invmm, r):
+    """Velocity invmm·r — diagonal metric as an elementwise product, dense
+    (d, d) metric as a matvec.  `jnp.ndim` is static under trace/vmap, so
+    the branch compiles away."""
+    return invmm @ r if jnp.ndim(invmm) == 2 else invmm * r
+
+
+def _bcast_invmm(inverse_mass_matrix, x0):
+    """Normalize an inverse-mass argument against the flat position: scalars
+    and (d,) vectors broadcast to a diagonal metric, (d, d) stays dense."""
+    invmm = jnp.asarray(inverse_mass_matrix, x0.dtype)
+    return invmm if invmm.ndim == 2 else jnp.broadcast_to(invmm, x0.shape)
+
+
+def _momentum(rng_key, invmm, x0):
+    """Sample r ~ N(0, M) with M = invmm⁻¹.  Dense: invmm = LLᵀ gives
+    r = L⁻ᵀξ (cov L⁻ᵀL⁻¹ = invmm⁻¹); the (d, d) solve is negligible next to
+    the model gradients that dominate every trajectory."""
+    xi = jr.normal(rng_key, x0.shape, x0.dtype)
+    if jnp.ndim(invmm) == 2:
+        chol = jnp.linalg.cholesky(invmm)
+        return jax.scipy.linalg.solve_triangular(chol.T, xi, lower=False)
+    return xi / jnp.sqrt(invmm)
+
+
 def _leapfrog(x, r, g, logdensity_fn, unravel, step_size, invmm):
     """One velocity-Verlet step on the flat phase space; g = grad logp."""
     r = r + 0.5 * step_size * g
-    x = x + step_size * invmm * r
+    x = x + step_size * _vel(invmm, r)
     logdensity, grad_tree = value_and_grad(logdensity_fn)(unravel(x))
     g = _ravel(grad_tree)[0]
     r = r + 0.5 * step_size * g
@@ -50,7 +75,7 @@ def _leapfrog(x, r, g, logdensity_fn, unravel, step_size, invmm):
 
 
 def _kinetic(r, invmm):
-    return 0.5 * jnp.dot(r, invmm * r)
+    return 0.5 * jnp.dot(r, _vel(invmm, r))
 
 
 # ======================================================================= HMC
@@ -62,8 +87,8 @@ def hmc_kernel(logdensity_fn, step_size, num_integration_steps,
         key_mom, key_acc = jr.split(rng_key)
         x0, unravel = _ravel(state.position)
         g0 = _ravel(state.logdensity_grad)[0]
-        invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype), x0.shape)
-        r0 = jr.normal(key_mom, x0.shape, x0.dtype) / jnp.sqrt(invmm)
+        invmm = _bcast_invmm(inverse_mass_matrix, x0)
+        r0 = _momentum(key_mom, invmm, x0)
         H0 = -state.logdensity + _kinetic(r0, invmm)
 
         def body(carry, _):
@@ -114,7 +139,7 @@ class _Tree(NamedTuple):
 
 
 def _is_turning(r_left, r_right, r_sum, invmm):
-    v = invmm * r_sum
+    v = _vel(invmm, r_sum)
     return (jnp.dot(v, r_left) <= 0) | (jnp.dot(v, r_right) <= 0)
 
 
@@ -276,8 +301,8 @@ def nuts_kernel(logdensity_fn, step_size, inverse_mass_matrix=1.0,
         x0, unravel = _ravel(state.position)
         g0 = _ravel(state.logdensity_grad)[0]
         d = x0.shape[0]
-        invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype), x0.shape)
-        r0 = jr.normal(key_mom, x0.shape, x0.dtype) / jnp.sqrt(invmm)
+        invmm = _bcast_invmm(inverse_mass_matrix, x0)
+        r0 = _momentum(key_mom, invmm, x0)
         H0 = -state.logdensity + _kinetic(r0, invmm)
 
         def build_subtree(key, tree: _Tree, depth, direction):
@@ -360,8 +385,8 @@ def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None
 
     Returns `step(keys, state, step_size, invmm, cond)`; every argument
     carries a leading chains axis (state: HMCState of (C, ...) leaves,
-    step_size (C,), invmm (C, d) or (C,)), and it returns (state', info)
-    like the monolithic kernel.
+    step_size (C,), invmm (C, d), (C,) or (C, d, d) dense), and it returns
+    (state', info) like the monolithic kernel.
     """
     import os
 
@@ -382,8 +407,8 @@ def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None
         x0 = _ravel(st.position)[0]
         g0 = _ravel(st.logdensity_grad)[0]
         key_mom, key_traj = jr.split(key)
-        invmmb = jnp.broadcast_to(jnp.asarray(invmm, x0.dtype), x0.shape)
-        r0 = jr.normal(key_mom, x0.shape, x0.dtype) / jnp.sqrt(invmmb)
+        invmmb = _bcast_invmm(invmm, x0)
+        r0 = _momentum(key_mom, invmmb, x0)
         H0 = -st.logdensity + _kinetic(r0, invmmb)
         logw0 = -H0
         tree0 = _Tree(x0, r0, g0, st.logdensity,
@@ -404,8 +429,7 @@ def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None
         return {**c, "key": new_key}, s0, direction, key_take
 
     def one_chunk(s, direction, H0, step_size, invmm, n_leaf, done, cond, m):
-        invmmb = jnp.broadcast_to(jnp.asarray(invmm, s["x"].dtype),
-                                  s["x"].shape)
+        invmmb = _bcast_invmm(invmm, s["x"])
         body = partial(_leaf_body,
                        logdensity_fn=lambda v: logdensity_fn(v, cond),
                        unravel=unravel, step_size=step_size, invmm=invmmb,
@@ -425,8 +449,7 @@ def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None
         return _leaf_cond(s, n_leaf) & ~done
 
     def one_merge(c, s, direction, key_take, invmm):
-        invmmb = jnp.broadcast_to(jnp.asarray(invmm, s["x"].dtype),
-                                  s["x"].shape)
+        invmmb = _bcast_invmm(invmm, s["x"])
         sub = _subtree_final(s, direction)
         new_tree = _double_merge(c["tree"], sub, direction, key_take, invmmb)
         tree = jax.tree.map(partial(_where_leaf, c["done"]), c["tree"],
@@ -563,9 +586,14 @@ def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3,
                initial_inverse_mass_matrix=None):
     """Initial window-adaptation carry: (state, dual-avg, invmm, Welford).
 
-    `initial_inverse_mass_matrix` (flat (d,) vector or scalar) seeds the
-    diagonal mass before the first slow-window refresh — e.g. from a tuned
-    MCLMC phase-1 config — instead of the unit default."""
+    `initial_inverse_mass_matrix` seeds the mass before the first
+    slow-window refresh — e.g. from a tuned MCLMC phase-1 config or a
+    Laplace approximation — instead of the unit default.  Its shape selects
+    the METRIC for the whole warmup: scalar/(d,) adapts a diagonal mass,
+    (d, d) adapts a DENSE mass (full Welford covariance in slow windows) —
+    the right choice for small correlated blocks (e.g. cosmology+bias
+    scalars, whose Omega_m/sigma8 degeneracy forces max-depth trees under
+    any diagonal metric)."""
     state = hmc_init(initial_position, logdensity_fn)
     x0 = _ravel(state.position)[0]
     d = x0.shape[0]
@@ -573,9 +601,10 @@ def _wa_carry0(logdensity_fn, initial_position, initial_step_size=1e-3,
     if initial_inverse_mass_matrix is None:
         invmm = jnp.ones(d, x0.dtype)
     else:
-        invmm = jnp.broadcast_to(
-            jnp.asarray(initial_inverse_mass_matrix, x0.dtype), (d,))
-    welford = (jnp.zeros(()), jnp.zeros(d, x0.dtype), jnp.zeros(d, x0.dtype))
+        im = jnp.asarray(initial_inverse_mass_matrix, x0.dtype)
+        invmm = im if im.ndim == 2 else jnp.broadcast_to(im, (d,))
+    m2 = jnp.zeros((d, d) if invmm.ndim == 2 else d, x0.dtype)
+    welford = (jnp.zeros(()), jnp.zeros(d, x0.dtype), m2)
     return (state, da, invmm, welford)
 
 
@@ -590,9 +619,8 @@ def bracket_init(logdensity_fn, position, rng_key,
     state = hmc_init(position, logdensity_fn)
     x0, unravel = _ravel(state.position)
     g0 = _ravel(state.logdensity_grad)[0]
-    invmm = jnp.broadcast_to(jnp.asarray(inverse_mass_matrix, x0.dtype),
-                             x0.shape)
-    r0 = jr.normal(rng_key, x0.shape, x0.dtype) / jnp.sqrt(invmm)
+    invmm = _bcast_invmm(inverse_mass_matrix, x0)
+    r0 = _momentum(rng_key, invmm, x0)
     H0 = -state.logdensity + _kinetic(r0, invmm)
     eps0 = jnp.asarray(initial_step_size, x0.dtype)
     carry = dict(x0=x0, r0=r0, g0=g0, H0=H0, invmm=invmm, eps=eps0,
@@ -668,24 +696,27 @@ def _wa_post(carry, info, upd, slow, target_acceptance_rate=0.65):
     d = _ravel(state.position)[0].shape[0]
     da = _da_update(da, info["acceptance_rate"], target=target_acceptance_rate)
 
-    # Welford within slow windows
+    # Welford within slow windows (m2 ndim selects diag vs dense streaming)
     n, mean, m2 = welford
     x = _ravel(state.position)[0]
     n1 = n + slow
     delta = x - mean
     mean = mean + slow * delta / jnp.maximum(n1, 1)
-    m2 = m2 + slow * delta * (x - mean)
+    dense = jnp.ndim(m2) == 2
+    m2 = m2 + slow * (jnp.outer(delta, x - mean) if dense
+                      else delta * (x - mean))
     welford = (n1, mean, m2)
 
     # refresh mass at slow-window ends, reset Welford and dual averaging
     def refresh(args):
         da, invmm, (n, mean, m2) = args
         var = m2 / jnp.maximum(n - 1, 1)
-        var = jnp.where(n > 1, var * (n / (n + 5.0)) + 1e-3 * (5.0 / (n + 5.0)),
-                        invmm)
+        reg = 1e-3 * (5.0 / (n + 5.0))  # Stan shrinkage toward (a small) I
+        reg = reg * jnp.eye(d, dtype=x.dtype) if dense else reg
+        var = jnp.where(n > 1, var * (n / (n + 5.0)) + reg, invmm)
         da = _da_init(jnp.exp(da.log_eps))
         return da, var, (jnp.zeros(()), jnp.zeros(d, x.dtype),
-                         jnp.zeros(d, x.dtype))
+                         jnp.zeros_like(m2))
 
     da, invmm, welford = lax.cond(upd, refresh, lambda a: a,
                                   (da, invmm, welford))

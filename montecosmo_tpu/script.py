@@ -338,17 +338,46 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                 start_i, saved_leaves = 0, None
                 bckpt.unlink()
 
+        # metric selection: small scalar blocks get a DENSE mass (full
+        # Welford covariance in slow windows) — the cosmology/bias scalars
+        # are strongly correlated (Omega_m-sigma8-b1 degeneracies), and a
+        # diagonal metric forces every tree to the depth cap (measured 126
+        # evals/step for a 3-scalar block at 32^3 N-body); mesh blocks stay
+        # diagonal (d ~ 10^5-10^7)
+        d_block = int(sum(np.prod(v.shape[1:]) for v in p_block.values()))
+        dense_max = int(os.environ.get("MONTECOSMO_NUTS_DENSE_MAX", 64))
+        use_dense = not name.startswith("mesh") and 0 < d_block <= dense_max
+
         invmm0 = (initial_inverse_mass_matrix or {}).get(name)
         if invmm0 is None:
-            invmm0 = jnp.ones((n_chains,))
+            invmm0 = jnp.broadcast_to(
+                jnp.eye(d_block), (n_chains, d_block, d_block)) \
+                if use_dense else jnp.ones((n_chains,))
         else:
             invmm0 = jnp.asarray(invmm0)
-            if invmm0.ndim <= 1:  # shared across chains
-                invmm0 = jnp.broadcast_to(invmm0, (n_chains, *invmm0.shape))
+            if invmm0.ndim == 2 and invmm0.shape == (d_block, d_block) \
+                    and d_block != n_chains:
+                # shared dense seed (e.g. a Laplace inverse Hessian)
+                invmm0 = jnp.broadcast_to(
+                    invmm0 if use_dense else jnp.diag(invmm0),
+                    (n_chains, *((d_block, d_block) if use_dense
+                                 else (d_block,))))
+            elif invmm0.ndim <= 1:  # scalar or shared (d,) diagonal
+                if use_dense:
+                    diag = jnp.broadcast_to(invmm0, (d_block,))
+                    invmm0 = jnp.broadcast_to(
+                        jnp.diag(diag), (n_chains, d_block, d_block))
+                else:
+                    invmm0 = jnp.broadcast_to(invmm0,
+                                              (n_chains, *invmm0.shape))
+            elif invmm0.ndim == 2 and use_dense:  # per-chain (C, d) diagonal
+                invmm0 = jit(vmap(jnp.diag))(invmm0)
 
-        if start_i:
-            eps0 = None  # carry restored from checkpoint; bracket not needed
-        elif initial_step_size is None:
+        def _bracket_eps0():
+            nonlocal n_evals
+            if initial_step_size is not None:
+                return jnp.broadcast_to(jnp.asarray(initial_step_size),
+                                        (n_chains,))
             eps_keys = jr.split(jr.fold_in(key, 1000 + i_block), n_chains)
             if MAX_STEPS_PER_CALL:
                 # host-chunked search: one gradient eval per device program
@@ -385,8 +414,9 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                 n_evals += 12.0 * n_chains  # bracket cost (<= max_iters+2)
             print(f"  nuts warmup [{name}] bracketed step size: "
                   f"{np.asarray(eps0).round(5)}", flush=True)
-        else:
-            eps0 = jnp.broadcast_to(jnp.asarray(initial_step_size), (n_chains,))
+            return eps0
+
+        eps0 = None if start_i else _bracket_eps0()
 
         def carry0(p, other, eps, im):
             return _wa_carry0(lambda v: logpdf({**other, **v}), p, eps, im)
@@ -404,8 +434,22 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
             tmpl = jax.eval_shape(
                 vmap(carry0), p_block, rest,
                 jax.ShapeDtypeStruct((n_chains,), invmm0.dtype), invmm0)
-            leaves = [jnp.asarray(saved_leaves[f"l{j}"])
-                      for j in range(len(jax.tree.leaves(tmpl)))]
+            t_leaves = jax.tree.leaves(tmpl)
+            try:
+                leaves = [jnp.asarray(saved_leaves[f"l{j}"])
+                          for j in range(len(t_leaves))]
+                if any(l.shape != t.shape
+                       for l, t in zip(leaves, t_leaves)):
+                    raise KeyError("checkpoint/carry shape mismatch")
+            except KeyError as exc:
+                # e.g. the metric env flag changed between run and resume:
+                # the checkpoint no longer matches — restart the block
+                print(f"  nuts warmup [{name}]: stale checkpoint ({exc}); "
+                      f"restarting block", flush=True)
+                start_i = 0
+                bckpt.unlink()
+                eps0 = _bracket_eps0()
+        if start_i:
             carry = jax.tree.unflatten(jax.tree.structure(tmpl), leaves)
             print(f"  nuts warmup [{name}] resuming at {start_i}/{n_steps}",
                   flush=True)
@@ -564,6 +608,38 @@ def plot_field_warmup(model, params_start, state, save_dir, prob=(0.68, 0.95)):
     plt.close()
 
 
+def _laplace_seed(logpdf, p_block, others):
+    """Dense inverse-mass seed for a small parameter block: the inverse of
+    the (PSD-ified) conditional Hessian of -logpdf at the current point.
+
+    The Hessian is built column-by-column with forward-over-reverse HVPs —
+    each column is its own short jitted device program (the host transfer
+    paces them under the axon program-runtime kill), so the cost is
+    d x ~2.5 model evals, negligible next to the max-depth trees it removes.
+    Saddle directions are handled with the |eigenvalue| trick; the spectrum
+    is floored at 1e-6 of the largest curvature (condition cap 1e6).
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(p_block)
+    d = flat0.shape[0]
+
+    def lp_flat(f):
+        return logpdf({**others, **unravel(f)})
+
+    gfn = jax.grad(lp_flat)
+    hvp = jit(lambda v: jax.jvp(gfn, (flat0,), (v,))[1])
+    cols = []
+    for i in range(d):
+        e = jnp.zeros_like(flat0).at[i].set(1.0)
+        cols.append(np.asarray(hvp(e)))  # transfer: one program per column
+    hess = -np.stack(cols, axis=1).astype(np.float64)  # precision of logpdf
+    hess = 0.5 * (hess + hess.T)
+    w, v = np.linalg.eigh(hess)
+    w = np.abs(w)
+    w = np.maximum(w, 1e-6 * max(w.max(), 1e-30))
+    cov = (v / w) @ v.T
+    return jnp.asarray(0.5 * (cov + cov.T), jnp.result_type(float)), w
+
+
 def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var,
                 n_chains, tune_mass, eval_per_ess=1e3, seed=43, overwrite=False,
                 sampler="mclmc"):
@@ -613,6 +689,26 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
                     nc = float(n_chains)  # Stan-style shrinkage for few chains
                     seed_invmm = {"mesh_": var * nc / (nc + 5.0)
                                   + 1e-3 * 5.0 / (nc + 5.0)}
+            # Laplace-seed the scalar block: the conditional Hessian at the
+            # warm start is exactly the right preconditioner for the Gibbs
+            # rest_ block (it samples conditionally on the field), and it
+            # captures the Omega_m/sigma8/b1 CORRELATIONS a diagonal seed
+            # cannot — without it the first windows burn max-depth trees
+            # (observed: 126 evals/step for 200 steps at 32^3 N-body)
+            rest_keys = [k for k in params_warm if not k.endswith("mesh_")]
+            d_rest = int(sum(np.prod(np.shape(params_warm[k])[1:])
+                             for k in rest_keys))
+            if rest_keys and 0 < d_rest <= 64 and \
+                    os.environ.get("MONTECOSMO_NUTS_LAPLACE_SEED", "1") != "0":
+                p0 = {k: jnp.asarray(params_warm[k][0]) for k in rest_keys}
+                o0 = {k: jnp.asarray(v[0]) for k, v in params_warm.items()
+                      if k not in rest_keys}
+                cov, w = _laplace_seed(model.logpdf, p0, o0)
+                seed_invmm = dict(seed_invmm or {})
+                seed_invmm["rest_"] = cov
+                print(f"  nuts warmup [rest_] Laplace-seeded mass "
+                      f"({d_rest} dims, curvature {w.min():.3g}..{w.max():.3g})",
+                      flush=True)
             with phase("full_warmup"):
                 state, config, n_evals = _segmented_nuts_warmup(
                     model.logpdf, n_steps, n_chains, jr.key(seed), params_warm,
@@ -622,6 +718,14 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
             for name, conf in config.items():
                 ss = jnp.median(conf["step_size"])
                 invmm = jnp.median(conf["inverse_mass_matrix"], 0)
+                if jnp.ndim(invmm) == 2:
+                    # elementwise median of PSD matrices need not be PSD:
+                    # symmetrize + eigenvalue floor before sharing it out
+                    m = np.asarray(invmm, np.float64)
+                    m = 0.5 * (m + m.T)
+                    w, v = np.linalg.eigh(m)
+                    w = np.maximum(w, 1e-8 * max(w.max(), 1e-30))
+                    invmm = jnp.asarray((v * w) @ v.T, invmm.dtype)
                 config[name] = {
                     "step_size": jnp.broadcast_to(ss, (n_chains,)),
                     "inverse_mass_matrix": jnp.broadcast_to(

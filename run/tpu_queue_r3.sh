@@ -68,6 +68,18 @@ job_nuts32() {
     --n-steps-full 200 --n-runs 2 --n-samples 64 --thinning 2 \
     --expe nuts32 --obs $OBS3
 }
+# config-3 A/B at 32^3 with the round-3 dense-metric + Laplace-seed NUTS
+# (the diag baseline run pinned every tree at the depth cap: 126 evals/step
+# warmup, ~63 evals/step sampling for a 3-scalar block)
+job_nuts32d() {
+  MONTECOSMO_MAX_STEPS_PER_CALL=32 MONTECOSMO_NUTS_MAX_DOUBLINGS=6 \
+    MONTECOSMO_NUTS_EVALS_PER_PROGRAM=8 \
+    timeout 21600 python run/infer.py \
+    --register registered/register_synthetic_z1.000_b32_p0.h5 \
+    --evolution nbody --sampler nuts --self-data --n-chains 2 \
+    --n-steps-full 200 --n-runs 2 --n-samples 64 --thinning 2 \
+    --expe nuts32d --obs $OBS3
+}
 # reduced 64^3 N-body NUTS (host-chunked, ~2.4 s/eval): feasibility +
 # ESS/hour at the VERDICT target scale; budgets trimmed to fit a round
 job_nuts64host() {
@@ -100,7 +112,7 @@ JOBS=${*:-"pm256 nbody128 mclmc64 nuts64 bench192"}
 for j in $JOBS; do
   case $j in
     pm256|pm128|nbody128|bench128|bench192) run_job "$j" 2 ;;
-    mclmc64|mclmc64b|nuts64|nuts32|nuts64host) run_job "$j" 3 ;;
+    mclmc64|mclmc64b|nuts64|nuts32|nuts32d|nuts64host) run_job "$j" 3 ;;
     *) echo "unknown job $j" >>"$LOG" ;;
   esac
 done

@@ -434,3 +434,132 @@ def test_segmented_nuts_warmup_ckpt_resume(tmp_path, monkeypatch, host_m):
     np.testing.assert_array_equal(np.asarray(res_s["rest_"].position["x_"]),
                                   np.asarray(ref_s["rest_"].position["x_"]))
     assert res_ev == ref_ev
+
+
+def test_nuts_dense_metric_correlated():
+    """On a strongly correlated Gaussian, dense window adaptation recovers
+    the full covariance (off-diagonals included) and needs far fewer
+    integration steps per transition than the diagonal metric at its own
+    tuned step size — the failure mode that pins blocked-NUTS scalar
+    updates at the tree-depth cap under a diagonal mass."""
+    from montecosmo_tpu.samplers.hmc import window_adaptation
+
+    rho = 0.99
+    C = np.array([[1.0, rho, 0.0], [rho, 1.0, 0.0], [0.0, 0.0, 0.04]])
+    Ci = jnp.asarray(np.linalg.inv(C), jnp.float32)
+
+    def logdf(p):
+        return -0.5 * p["x"] @ Ci @ p["x"]
+
+    evals = {}
+    for name, im0 in [("dense", jnp.eye(3)), ("diag", jnp.ones(3))]:
+        (state, params), hist = window_adaptation(
+            nuts_kernel, logdf, 400, {"x": jnp.zeros(3)}, rng_key=jr.key(1),
+            initial_inverse_mass_matrix=im0)
+        # post-warmup steps (final fast window): tuned operating point
+        evals[name] = float(jnp.mean(hist["num_integration_steps"][-50:]))
+        if name == "dense":
+            est = np.asarray(params["inverse_mass_matrix"])
+            assert est.shape == (3, 3)
+            # correlation structure recovered (not just the diagonal)
+            corr = est[0, 1] / np.sqrt(est[0, 0] * est[1, 1])
+            assert corr > 0.9, corr
+            assert abs(est[2, 2] - 0.04) < 0.04, est[2, 2]
+    # the dense metric removes the long-trajectory regime entirely
+    assert evals["dense"] < 0.5 * evals["diag"], evals
+
+
+def test_laplace_seed_quadratic():
+    """On a Gaussian logpdf the Laplace seed is the exact covariance, and a
+    saddle direction (negative curvature) is folded positive."""
+    from montecosmo_tpu.script import _laplace_seed
+
+    C = np.array([[2.0, 0.6], [0.6, 0.5]])
+    Ci = jnp.asarray(np.linalg.inv(C), jnp.float32)
+
+    def logdf(p):
+        x = jnp.stack([p["a"], p["b"]])
+        return -0.5 * x @ Ci @ x + 10.0 * p["c"] ** 2   # c: negative curvature
+
+    cov, w = _laplace_seed(logdf, {"a": jnp.asarray(0.1), "b": jnp.asarray(-0.2),
+                                   "c": jnp.asarray(0.05)}, {})
+    cov = np.asarray(cov, np.float64)
+    np.testing.assert_allclose(cov[:2, :2], C, rtol=2e-3, atol=2e-3)
+    assert cov[2, 2] > 0 and abs(cov[2, 2] - 1 / 20.0) < 1e-3  # |−20| → 1/20
+    assert (w > 0).all()
+
+
+def test_segmented_nuts_warmup_dense_default(monkeypatch):
+    """The scalar block of the blocked warmup adapts a DENSE mass by default
+    (env-gated) and captures the target's correlation; the mesh block stays
+    diagonal."""
+    import montecosmo_tpu.script as script
+
+    rho = 0.95
+    Ci = jnp.asarray(np.linalg.inv([[1.0, rho], [rho, 1.0]]), jnp.float32)
+
+    def logdf(params):
+        s = jnp.stack([params["om_"], params["b1_"]])
+        return -0.5 * s @ Ci @ s - 0.5 * jnp.sum(params["white_mesh_"] ** 2)
+
+    n_chains, n_steps = 2, 120
+    pos = {"om_": jr.normal(jr.key(0), (n_chains,)),
+           "b1_": jr.normal(jr.key(1), (n_chains,)),
+           "white_mesh_": jr.normal(jr.key(2), (n_chains, 8))}
+
+    monkeypatch.setattr(script, "MAX_STEPS_PER_CALL", 64)
+    state, config, n_ev = script._segmented_nuts_warmup(
+        logdf, n_steps, n_chains, jr.key(3), pos)
+    assert config["mesh_"]["inverse_mass_matrix"].ndim == 2    # (C, d) diag
+    rest = np.asarray(config["rest_"]["inverse_mass_matrix"])
+    assert rest.shape == (n_chains, 2, 2)                      # (C, d, d) dense
+    corr = rest[:, 0, 1] / np.sqrt(rest[:, 0, 0] * rest[:, 1, 1])
+    assert (corr > 0.5).all(), corr
+
+    # env off: falls back to the diagonal metric
+    monkeypatch.setenv("MONTECOSMO_NUTS_DENSE_MAX", "0")
+    _, config_d, _ = script._segmented_nuts_warmup(
+        logdf, 40, n_chains, jr.key(3), pos)
+    assert np.asarray(config_d["rest_"]["inverse_mass_matrix"]).shape \
+        == (n_chains, 2)
+
+
+def test_segmented_nuts_warmup_stale_ckpt(tmp_path, monkeypatch):
+    """A checkpoint written under a different metric config (dense vs diag)
+    is detected as stale and the block restarts instead of crashing."""
+    import montecosmo_tpu.script as script
+
+    def logdf(params):
+        return -0.5 * jnp.sum(params["x_"] ** 2)
+
+    n_chains, n_steps = 2, 24
+    pos = {"x_": jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_chains, 4)), jnp.float32)}
+    key = jr.key(5)
+    ckpt = tmp_path / "warm_ckpt.h5"
+
+    monkeypatch.setattr(script, "MAX_STEPS_PER_CALL", 6)
+    monkeypatch.setenv("MONTECOSMO_RUN_CKPT_EVERY", "1")
+
+    orig_h5save = script.h5save
+    calls = {"n": 0}
+
+    def crashing_h5save(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated worker kill")
+        return orig_h5save(*a, **kw)
+
+    monkeypatch.setattr(script, "h5save", crashing_h5save)
+    with pytest.raises(RuntimeError, match="simulated"):
+        script._segmented_nuts_warmup(logdf, n_steps, n_chains, key, pos,
+                                      ckpt_path=ckpt)
+    monkeypatch.setattr(script, "h5save", orig_h5save)
+
+    # resume under a different metric: dense ckpt no longer matches
+    monkeypatch.setenv("MONTECOSMO_NUTS_DENSE_MAX", "0")
+    state, config, _ = script._segmented_nuts_warmup(
+        logdf, n_steps, n_chains, key, pos, ckpt_path=ckpt)
+    assert np.asarray(config["rest_"]["inverse_mass_matrix"]).shape \
+        == (n_chains, 4)
+    assert np.isfinite(np.asarray(state["rest_"].logdensity)).all()
