@@ -79,10 +79,13 @@ def build(final=128, paint_method="auto", evolution="lpt"):
     obs = {"count_mesh": count_mesh}
 
     import os
-    staged = os.environ.get("MONTECOSMO_STAGED_EVAL")
-    if (staged is None and final >= 192) or staged == "1":
-        # 4 smaller stage programs instead of one monolithic
-        # primal+tangent+transpose compile the remote service drops
+    if os.environ.get("MONTECOSMO_STAGED_EVAL") == "1":
+        # 4 smaller stage programs instead of one monolithic compile.
+        # Opt-in only: the staged split holds stage-1 vjp residuals AND
+        # stage outputs live simultaneously and RESOURCE_EXHAUSTs the chip
+        # at 192^3 (measured, round 3), while the monolithic program —
+        # post lazy-kernel fix — compiles in minutes and lets XLA schedule
+        # the whole liveness (0.107 evals/s at 192^3).
         vag = model.value_and_grad_staged()
         return (lambda p: vag({**p, **obs})), params
 

@@ -98,3 +98,10 @@ for n in ndevs:
           f"alias={ma.alias_size_in_bytes/2**20:6.1f}", flush=True)
     if os.environ.get("MEMPROBE_TOP"):
         top_shapes(compiled)
+    hlo_path = os.environ.get("MEMPROBE_HLO")
+    if hlo_path:
+        # full post-SPMD optimized HLO with op_name metadata — grep full-size
+        # (unsharded) shapes here to attribute the replicated memory floor
+        with open(f"{hlo_path}.n{n}.txt", "w") as f:
+            f.write(compiled.as_text())
+        print(f"  HLO -> {hlo_path}.n{n}.txt", flush=True)

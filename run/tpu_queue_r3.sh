@@ -30,7 +30,11 @@ job_pm256() { timeout 7200 python bench.py pm 256 10; }
 job_pm128() { timeout 5400 python bench.py pm 128 10; }
 job_nbody128() { timeout 7200 python bench.py 128 auto nbody; }
 job_bench128() { timeout 5400 python bench.py 128; }
-job_bench192() { timeout 7200 python bench.py 192; }
+# monolithic value+grad: the staged path (default at >=192) holds stage-1
+# vjp residuals + stage outputs live simultaneously and RESOURCE_EXHAUSTs
+# the chip at 192^3 (measured, round 3); post-lazy-kernel-fix the monolithic
+# program compiles fine and lets XLA schedule the whole liveness
+job_bench192() { MONTECOSMO_STAGED_EVAL=0 timeout 7200 python bench.py 192; }
 job_mclmc64() {
   MONTECOSMO_MAX_STEPS_PER_CALL=32 timeout 21600 \
     python run/infer.py --register "$REG" --evolution lpt \
