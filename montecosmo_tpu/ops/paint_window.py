@@ -398,56 +398,3 @@ def read_window(pos, meshes, lattice_shape: tuple, order: int = 2,
     vals = vals.reshape(nG + G + (C,)).transpose(0, 3, 1, 4, 2, 5, 6)
     vals = vals.reshape((int(np.prod(lattice_shape)), C))
     return vals[..., 0] if squeeze else vals
-
-
-def paint_hybrid(pos, shape: tuple, lattice_shape: tuple, weights=1.0,
-                 order: int = 2, kernel_type="rectangular", oversamp=1.0,
-                 max_disp=8, group=(None, None, None), batch_size=8,
-                 clip=True):
-    """Scatter-forward / window-backward painting.
-
-    NOTE: measured SLOWER than pure `paint_window` on the axon TPU (the
-    "fast lattice-ordered forward scatter" that motivated this was a
-    lazy-dispatch timing artifact — see BENCH_NOTES.md); kept because the
-    scatter forward wraps any position (no displacement bound on the
-    VALUE, only on gradient quality), which pure window painting cannot do.
-
-    Forward runs the plain XLA scatter (`ops.paint.paint`).  The backward
-    pass — where the scatter's VJP degenerates into latency-bound random
-    gathers — is replaced by `read_window` matmuls via the adjoint identity
-        d<paint(pos, w), ct>/dw  = read(pos, ct)
-        d<paint(pos, w), ct>/dpos = w * d(read(pos, ct))/dpos,
-    computed as one shared vjp of the window read.
-
-    The forward scatter wraps any position, so mass is always conserved; the
-    displacement bound only limits GRADIENT accuracy: out-of-window particles
-    get clipped-position (clip=True) or dropped (clip=False) gradients.
-    """
-    from montecosmo_tpu.ops.paint import paint as _scatter_paint
-
-    shape = tuple(int(s) for s in shape)
-    size = float(np.prod(shape))
-    kw = dict(order=order, kernel_type=kernel_type, oversamp=oversamp,
-              max_disp=max_disp, group=group, batch_size=batch_size,
-              clip=clip)
-
-    @jax.custom_vjp
-    def _paint(pos, weights):
-        return _scatter_paint(pos, shape, weights, order, kernel_type,
-                              oversamp)
-
-    def _fwd(pos, weights):
-        return _paint(pos, weights), (pos, weights)
-
-    def _bwd(res, ct):
-        pos, weights = res
-        vals, pullback = jax.vjp(
-            lambda p: read_window(p, ct, lattice_shape, **kw), pos)
-        dpos = pullback(jnp.broadcast_to(weights, vals.shape))[0]
-        dw = jnp.sum(vals) if jnp.ndim(weights) == 0 else vals
-        return dpos, dw
-
-    _paint.defvjp(_fwd, _bwd)
-    weights = jnp.asarray(weights, pos.dtype)
-    return _paint(pos.reshape(-1, 3),
-                  weights.reshape(-1) if weights.ndim else weights)

@@ -15,7 +15,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from montecosmo_tpu.ops.fourier import bspline_hat, rfftk
 from montecosmo_tpu.ops.hermitian import chreshape, r2chshape
 from montecosmo_tpu.ops.paint import interlace, nufft, paint
-from montecosmo_tpu.ops.paint_window import paint_hybrid
 
 
 from montecosmo_tpu.utils.profiling import force_sync_dispatch
@@ -68,8 +67,6 @@ def main():
 
     for name, fn in [
         ("scatter paint", jax.jit(lambda p, w: paint(p, shape, w, 2))),
-        ("hybrid paint", jax.jit(lambda p, w: paint_hybrid(p, shape, lat, w, 2,
-                                                           max_disp=8))),
         ("interlace1 scatter", jax.jit(lambda p, w: interlace(
             p, shape, w, 2, interlace_order=1))),
         ("interlace2 scatter", jax.jit(lambda p, w: interlace(

@@ -72,13 +72,12 @@ def probe(n):
     return compiled
 
 
-def top_shapes(compiled, k=25):
+def top_shapes(txt, k=25):
     """Largest per-device tensor shapes in the post-SPMD optimized HLO:
     full-size shapes at n>1 are buffers GSPMD chose to replicate."""
     import re
     from collections import Counter
 
-    txt = compiled.as_text()
     sizes = Counter()
     for m in re.finditer(r"= (f32|c64|s32|pred|bf16)\[([\d,]+)\]", txt):
         dt, dims = m.groups()
@@ -96,12 +95,16 @@ for n in ndevs:
           f"args={ma.argument_size_in_bytes/2**20:6.1f}  "
           f"out={ma.output_size_in_bytes/2**20:6.1f}  "
           f"alias={ma.alias_size_in_bytes/2**20:6.1f}", flush=True)
-    if os.environ.get("MEMPROBE_TOP"):
-        top_shapes(compiled)
     hlo_path = os.environ.get("MEMPROBE_HLO")
+    txt = (compiled.as_text()
+           if os.environ.get("MEMPROBE_TOP") or hlo_path else None)
+    if os.environ.get("MEMPROBE_TOP"):
+        top_shapes(txt)
     if hlo_path:
         # full post-SPMD optimized HLO with op_name metadata — grep full-size
         # (unsharded) shapes here to attribute the replicated memory floor
+        from pathlib import Path
+        Path(hlo_path).parent.mkdir(parents=True, exist_ok=True)
         with open(f"{hlo_path}.n{n}.txt", "w") as f:
-            f.write(compiled.as_text())
+            f.write(txt)
         print(f"  HLO -> {hlo_path}.n{n}.txt", flush=True)

@@ -167,35 +167,3 @@ def test_read_window_grad(rng):
     for r, g, name in zip(ref, got, ("mesh", "pos")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
-
-
-def test_paint_hybrid(rng):
-    """Hybrid: forward IS the scatter (bit-exact); backward (window matmuls)
-    matches the scatter VJP for in-bound particles."""
-    from montecosmo_tpu.ops.paint_window import paint_hybrid
-
-    shape = lat = (8, 8, 8)
-    pos = _lattice_pos(rng, lat, shape, max_disp=2)
-    w = jnp.asarray(rng.uniform(0.5, 2.0, size=pos.shape[0]), jnp.float32)
-    probe = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-
-    ref = paint(pos % 8.0, shape, w, 2)
-    got = paint_hybrid(pos, shape, lat, w, 2, max_disp=2)
-    # scatter-vs-scatter: only the pre-wrap's f32 rounding differs
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
-
-    ref_g = jax.grad(lambda p, w: jnp.vdot(paint(p % 8.0, shape, w, 2), probe),
-                     (0, 1))(pos, w)
-    hyb_g = jax.grad(lambda p, w: jnp.vdot(
-        paint_hybrid(p, shape, lat, w, 2, max_disp=2), probe), (0, 1))(pos, w)
-    for r, g, name in zip(ref_g, hyb_g, ("pos", "weights")):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
-                                   rtol=1e-4, atol=1e-4, err_msg=name)
-
-    # scalar weights: dw is the summed read
-    g_scal = jax.grad(lambda w: jnp.vdot(
-        paint_hybrid(pos, shape, lat, w, 2, max_disp=2), probe))(1.0)
-    g_ref = jax.grad(lambda w: jnp.vdot(paint(pos % 8.0, shape, w, 2),
-                                        probe))(1.0)
-    np.testing.assert_allclose(float(g_scal), float(g_ref), rtol=1e-4)
