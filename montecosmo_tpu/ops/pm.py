@@ -76,10 +76,14 @@ def pm_forces(pos, mesh, read_order: int = 2, paint_deconv: bool = False,
     return read_multi(pos, grads, read_order)
 
 
-def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
-               sites_shape=None):
-    """2LPT source-term forces: delta2 = sum_i<j (h_ii h_jj - h_ij^2) of the
-    potential Hessian (6 FFTs), then Poisson forces of delta2 (1 + 3 FFTs)."""
+def delta2_source(mesh, grad_fd=np.inf, lap_fd=np.inf):
+    """2LPT source field delta2 = sum_i<j (h_ii h_jj - h_ij^2) of the potential
+    Hessian h_ij = d_i d_j invlaplace(delta), assembled with 6 FFTs.
+
+    Equivalent Fourier-space identity (validated brute-force in
+    tests/test_second_order.py): delta2(k) = (1/2) sum_{k1+k2=k}
+    [1 - (k1.k2)^2/(k1^2 k2^2)] delta(k1) delta(k2), zero modes excluded.
+    """
     kvec = lazy_kvec(rfftk(ch2rshape(mesh.shape)), mesh)
     pot = mesh * invlaplace_hat(kvec, lap_fd)
 
@@ -93,7 +97,14 @@ def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
         for j in range(i + 1, len(kvec)):
             hess_ij = gradient_hat(kvec, i, grad_fd) * gradient_hat(kvec, j, grad_fd)
             delta2 -= irfftn(hess_ij * pot) ** 2
+    return delta2
 
+
+def pm_forces2(pos, mesh, read_order: int = 2, grad_fd=np.inf, lap_fd=np.inf,
+               sites_shape=None):
+    """2LPT source-term forces: delta2 = sum_i<j (h_ii h_jj - h_ij^2) of the
+    potential Hessian (6 FFTs), then Poisson forces of delta2 (1 + 3 FFTs)."""
+    delta2 = delta2_source(mesh, grad_fd=grad_fd, lap_fd=lap_fd)
     return pm_forces(pos, rfftn(delta2), read_order, grad_fd=grad_fd,
                      lap_fd=lap_fd, sites_shape=sites_shape)
 
@@ -193,7 +204,8 @@ def bullfrog_step(bg: Background, dg, mesh_shape: tuple, paint_order: int = 2,
 def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
              paint_order: int = 2, lpt_order: int = 2, paint_deconv=False,
              grad_fd=np.inf, lap_fd=np.inf, snapshots=None, alpha_fn=alpha_bullfrog,
-             checkpoint=True, lattice_shape=None, max_disp=8, sites_shape=None):
+             checkpoint=True, lattice_shape=None, max_disp=8, sites_shape=None,
+             init_read_order: int = 1):
     """BullFrog N-body from `a0` to `a1`: LPT initialization then `n_steps`
     growth-time DKD steps compiled as one (checkpointed) `lax.scan`.
 
@@ -201,6 +213,14 @@ def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
                 int k >= 2 -> also save k states growth-equispaced in [g0,g1]
                 (snapshot times snap to step boundaries);
                 list of scale factors -> same, snapped to step boundaries.
+    init_read_order : window order for the LPT init force reads.  The default
+                NGP read is exact (and gather-cheapest) when `pos` is the
+                exact integer lattice; callers starting from an OFFSET lattice
+                must pass the step `paint_order` here, or the init velocity is
+                a half-cell-shifted force sample, inconsistent at linear order
+                with the in-step forces (measured: breaks the BullFrog
+                2LPT-exactness property by ~30%/step in
+                tests/test_second_order.py).
     Returns (pos, vel) stacked over snapshots on the leading axis.
     """
     n_steps = int(n_steps)
@@ -211,7 +231,7 @@ def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
 
     mesh_shape = ch2rshape(init_mesh.shape)
     dpos, vel = lpt(bg, init_mesh, pos=pos, a=a0, lpt_order=lpt_order,
-                    read_order=1, grad_fd=grad_fd, lap_fd=lap_fd,
+                    read_order=init_read_order, grad_fd=grad_fd, lap_fd=lap_fd,
                     sites_shape=sites_shape)
     state = (pos + dpos, vel)
 
