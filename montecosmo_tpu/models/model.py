@@ -47,7 +47,7 @@ from montecosmo_tpu.ops.hermitian import (
     scale_shape,
 )
 from montecosmo_tpu.ops.paint import nufft, read, read_sites
-from montecosmo_tpu.ops.pm import lpt, nbody_bf
+from montecosmo_tpu.ops.pm import lpt, nbody_bf, nbody_bf_lightcone
 from montecosmo_tpu.ops.power import lin_power_mesh
 from montecosmo_tpu.utils.io import h5load, yload, ysave
 from montecosmo_tpu.utils.safe import nvmap, safe_div
@@ -557,6 +557,13 @@ class FieldLevelModel(Model):
                 self.paint_lattice = tuple(self.ptcl_shape)
             else:
                 self.paint_lattice = None
+                # trace-time override under a device-mesh context: GSPMD
+                # cannot partition the flat scatter-add (it replicates the
+                # FULL paint mesh on every device — measured 23 full-size
+                # f32[896^3] buffers/device at 512^3 on 8 devices), while the
+                # window matmuls partition with their operands; pay the
+                # ~(need/24)^2 window-FLOP factor for 1/n memory (see evolve)
+                self._sharded_window = (need, tuple(self.ptcl_shape))
         elif self.paint_method in ("auto", "scatter"):
             self.paint_lattice = None
         else:
@@ -673,6 +680,15 @@ class FieldLevelModel(Model):
         cosmology, bias, png, stoch, ap, syst, init = params
         bg = Background.create(cosmology)
 
+        # paint-path selection is trace-time: under a mesh context the
+        # scatter fallback would replicate the full paint mesh per device
+        # (unpartitionable flat scatter-add), so force the window path there
+        from montecosmo_tpu.parallel.context import current_mesh_context
+        paint_lattice, max_disp = self.paint_lattice, self.max_disp
+        if (paint_lattice is None and current_mesh_context() is not None
+                and getattr(self, "_sharded_window", None) is not None):
+            max_disp, paint_lattice = self._sharded_window
+
         init_mesh = white2lin(cosmology, init["white_mesh"], self.init_shape,
                               self.box_size, self.lin_kpow)
         init_mesh = chreshape(init_mesh, r2chshape(self.evol_shape))
@@ -710,7 +726,7 @@ class FieldLevelModel(Model):
                     paint_order=self.paint_order,
                     interlace_order=self.interlace_order,
                     kernel_type=self.kernel_type, paint_deconv=self.paint_deconv,
-                    lattice_shape=self.paint_lattice, max_disp=self.max_disp,
+                    lattice_shape=paint_lattice, max_disp=max_disp,
                     clip=True))
                 gxy_mesh *= np.prod(np.divide(self.evol_shape, self.ptcl_shape))
 
@@ -763,19 +779,42 @@ class FieldLevelModel(Model):
                 pos, vel = ppl.deterministic("lpt_ptcl", jnp.stack((pos, vel)))
 
             elif self.evolution == "nbody":
-                assert jnp.ndim(a) == 0, "N-body light-cone not implemented yet"
                 # PM force paints run at evol resolution: rescale the window
                 # bound from paint cells to evol cells
-                max_disp_evol = int(np.ceil(self.max_disp * np.max(
+                max_disp_evol = int(np.ceil(max_disp * np.max(
                     np.divide(self.evol_shape, self.paint_shape))))
-                pos, vel = nbody_bf(bg, init_mesh, pos=pos, a0=self.nbody_a_start,
-                                    a1=a, n_steps=self.nbody_n_steps,
-                                    paint_order=self.paint_order,
-                                    lpt_order=self.lpt_order, paint_deconv=False,
-                                    snapshots=self.nbody_snapshots,
-                                    lattice_shape=self.paint_lattice,
-                                    max_disp=max_disp_evol,
-                                    sites_shape=self.evol_sites)
+                if jnp.ndim(a) == 0:
+                    pos, vel = nbody_bf(bg, init_mesh, pos=pos,
+                                        a0=self.nbody_a_start,
+                                        a1=a, n_steps=self.nbody_n_steps,
+                                        paint_order=self.paint_order,
+                                        lpt_order=self.lpt_order,
+                                        paint_deconv=False,
+                                        snapshots=self.nbody_snapshots,
+                                        lattice_shape=paint_lattice,
+                                        max_disp=max_disp_evol,
+                                        sites_shape=self.evol_sites)
+                else:
+                    # N-body light-cone (a_obs=None): beyond-reference — the
+                    # reference asserts this out (model.py:770).  Crossing
+                    # growth from the LAGRANGIAN radius (same approximation
+                    # the LPT light-cone path uses for its per-particle a);
+                    # evolution runs to the latest crossing, each particle
+                    # blended between bracketing growth-equispaced step
+                    # states inside the scan (pm.nbody_bf_lightcone).
+                    assert self.nbody_snapshots is None, \
+                        "nbody_snapshots and N-body light-cone are exclusive"
+                    g_tgt = bg.a2g(a)
+                    a1 = bg.g2a(jnp.max(g_tgt))
+                    pos, vel = nbody_bf_lightcone(
+                        bg, init_mesh, pos=pos, g_tgt=g_tgt,
+                        a0=self.nbody_a_start, a1=a1,
+                        n_steps=self.nbody_n_steps,
+                        paint_order=self.paint_order,
+                        lpt_order=self.lpt_order, paint_deconv=False,
+                        lattice_shape=paint_lattice,
+                        max_disp=max_disp_evol, sites_shape=self.evol_sites)
+                    pos, vel = pos[None], vel[None]
                 pos, vel = ppl.deterministic("nbody_ptcl", jnp.stack((pos, vel)))
                 pos, vel = pos[-1], vel[-1]
             else:
@@ -812,8 +851,8 @@ class FieldLevelModel(Model):
                                 interlace_order=self.interlace_order,
                                 kernel_type=self.kernel_type,
                                 paint_deconv=self.paint_deconv,
-                                lattice_shape=self.paint_lattice,
-                                max_disp=self.max_disp, clip=True)
+                                lattice_shape=paint_lattice,
+                                max_disp=max_disp, clip=True)
                     gxy *= np.prod(np.divide(self.init_shape, self.ptcl_shape))
                     gxy = chreshape(gxy, r2chshape(self.paint_shape))
                     return irfftn(gxy)
@@ -828,8 +867,8 @@ class FieldLevelModel(Model):
                                  interlace_order=self.interlace_order,
                                  kernel_type=self.kernel_type,
                                  paint_deconv=self.paint_deconv,
-                                 lattice_shape=self.paint_lattice,
-                                 max_disp=self.max_disp, clip=True)
+                                 lattice_shape=paint_lattice,
+                                 max_disp=max_disp, clip=True)
                     mesh *= np.prod(np.divide(self.paint_shape, self.ptcl_shape))
                     return chreshape(mesh, r2chshape(self.paint_shape))
 

@@ -116,16 +116,26 @@ def lazy_kvec(kvec, like, min_size=8_000_000):
     Size-gated: below `min_size` broadcast elements the kernels stay eager
     compile-time constants — recomputing them per evaluation costs ~15% at
     224^3 (measured, bench.py 128), while the literals are still well under
-    the upload cap there.
+    the upload cap there.  Inside a `parallel.context.mesh_context` the gate
+    is ignored: literal kernel constants stay REPLICATED on every device
+    (GSPMD does not slice literals — measured 3x full-size f32[224,224,113]
+    constants in the 128^3 flagship HLO at n=8), while device-staged iota
+    kernels partition with their consumers.
     """
     import jax
 
+    from montecosmo_tpu.parallel.context import current_mesh_context
+
     nelem = int(np.prod([max(np.shape(ki)) for ki in kvec]))
-    if nelem < min_size:
+    if nelem < min_size and current_mesh_context() is None:
         return kvec
     # stop_gradient: the tie is structural only — without it, kernels like
-    # sqrt(sum ki^2) would get an inf * 0 = NaN cotangent at the zero mode
-    z = jnp.real(jnp.ravel(jax.lax.stop_gradient(like))[0]) * 0
+    # sqrt(sum ki^2) would get an inf * 0 = NaN cotangent at the zero mode.
+    # Scalar-index (NOT ravel) the tracer: ravel = reshape merging a
+    # pencil-sharded dim — unpartitionable, GSPMD all-gathers the FULL rfft
+    # mesh (34 full-size c64[224,224,113] buffers in the 128^3/n=8 HLO)
+    like = jax.lax.stop_gradient(like)
+    z = jnp.real(like[(0,) * jnp.ndim(like)]) * 0
     return tuple(jnp.asarray(ki) + z.astype(jnp.asarray(ki).dtype)
                  for ki in kvec)
 

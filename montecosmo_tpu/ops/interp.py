@@ -37,21 +37,28 @@ def uniform_interp(x, x0, dx, ytab, left=None, right=None, logx=False,
         if logx else x
     t = (xq - x0) / dx
     i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
-    iflat = i.reshape(-1)
 
+    # shape-preserving gathers: flattening the query mesh (reshape(-1))
+    # merges its sharded dim into an unpartitionable reshape under a mesh
+    # context — GSPMD then all-gathers the FULL rfft-sized mesh on every
+    # device (measured: 45 MiB c64[224,224,113] all-gathers at 128^3/n=8,
+    # BENCH_NOTES round 4)
+    trail = ytab.ndim - 1
     pairs = jnp.stack([ytab[:-1], ytab[1:]], axis=1)     # (n-1, 2, ...)
-    lohi = pairs[iflat]                                  # one row gather
-    lo, hi = lohi[:, 0], lohi[:, 1]
+    lohi = jnp.take(pairs, i, axis=0)                    # i.shape + (2, ...)
+    lo = jnp.take(lohi, 0, axis=i.ndim)
+    hi = jnp.take(lohi, 1, axis=i.ndim)
     if xtab is not None:
         # lerp linearly in x: gather (x_i, 1/(x_{i+1}-x_i)) (static rows)
         xt = np.asarray(xtab, np.float32)
         xpairs = jnp.asarray(np.stack([xt[:-1], 1.0 / np.diff(xt)], 1))
-        xp = xpairs[iflat]
-        frac_flat = ((x.reshape(-1) - xp[:, 0]) * xp[:, 1]).astype(ytab.dtype)
+        xp = jnp.take(xpairs, i, axis=0)                 # i.shape + (2,)
+        frac = ((x - jnp.take(xp, 0, axis=i.ndim))
+                * jnp.take(xp, 1, axis=i.ndim)).astype(ytab.dtype)
     else:
-        frac_flat = (t.reshape(-1) - iflat).astype(ytab.dtype)
-    frac_flat = frac_flat.reshape((-1,) + (1,) * (ytab.ndim - 1))
-    y = (lo + frac_flat * (hi - lo)).reshape(i.shape + ytab.shape[1:])
+        frac = (t - i).astype(ytab.dtype)
+    frac = frac.reshape(frac.shape + (1,) * trail)
+    y = lo + frac * (hi - lo)
 
     below = t < 0
     above = t > (n - 1)

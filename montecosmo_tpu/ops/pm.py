@@ -275,6 +275,65 @@ def nbody_bf(bg: Background, init_mesh, pos, a0=0.0, a1=1.0, n_steps=5,
     return tree_util.tree_map(lambda x: x[idx], states)
 
 
+def nbody_bf_lightcone(bg: Background, init_mesh, pos, g_tgt, a0=0.0, a1=1.0,
+                       n_steps=5, paint_order: int = 2, lpt_order: int = 2,
+                       paint_deconv=False, grad_fd=np.inf, lap_fd=np.inf,
+                       alpha_fn=alpha_bullfrog, checkpoint=True,
+                       lattice_shape=None, max_disp=8, sites_shape=None,
+                       init_read_order: int = 1):
+    """BullFrog N-body evaluated on the light-cone: each particle's (pos, vel)
+    linearly interpolated — in growth factor, matching the growth-equispaced
+    DKD steps — between the two step-boundary states bracketing its crossing
+    growth `g_tgt` (shape broadcastable to pos[..., :1], clipped to [g0, g1]).
+
+    Beyond-reference capability: the reference asserts this out
+    (model.py:770 "N-body light-cone not implemented yet").
+
+    TPU-native shell interpolation: the hat weights w_i(g) = relu(1-|g-g_i|/dg)
+    over the uniform step-boundary growth grid form a partition of unity, so
+    the blend is STREAMED inside the scan carry (acc += w_i * state_i) — O(P)
+    memory, no (n_steps, P, 3) snapshot stack, and zero gathers (the
+    8 ns/element scatter/gather wall, BENCH_NOTES).
+    """
+    n_steps = int(n_steps)
+    g0 = bg.a2g(jnp.asarray(a0))
+    g1 = bg.a2g(jnp.asarray(a1))
+    dg = (g1 - g0) / n_steps
+    gs = g0 + dg * jnp.arange(n_steps)
+
+    mesh_shape = ch2rshape(init_mesh.shape)
+    dpos, vel = lpt(bg, init_mesh, pos=pos, a=a0, lpt_order=lpt_order,
+                    read_order=init_read_order, grad_fd=grad_fd, lap_fd=lap_fd,
+                    sites_shape=sites_shape)
+    state = (pos + dpos, vel)
+
+    gt = jnp.clip(g_tgt, g0, g1)
+
+    def hat(gi):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(gt - gi) / dg)
+
+    w = hat(g0)
+    acc = (w * state[0], w * state[1])
+
+    body = bullfrog_step(bg, dg, mesh_shape, paint_order,
+                         paint_deconv=paint_deconv, grad_fd=grad_fd,
+                         lap_fd=lap_fd, alpha_fn=alpha_fn,
+                         lattice_shape=lattice_shape, max_disp=max_disp)
+
+    def body_lc(carry, g0_):
+        state, acc = carry
+        state, _ = body(state, g0_)
+        w = hat(g0_ + dg)
+        acc = (acc[0] + w * state[0], acc[1] + w * state[1])
+        return (state, acc), None
+
+    if checkpoint:
+        body_lc = jax_checkpoint(body_lc)  # O(1) per-step reverse-mode memory
+
+    (_, acc), _ = lax.scan(body_lc, (state, acc), gs)
+    return acc
+
+
 def nbody_bf_scan(bg: Background, init_mesh, pos, a, n_steps=5, paint_order: int = 2,
                   grad_fd=np.inf, lap_fd=np.inf):
     """Minimal BullFrog driver: velocity initialized from the Zel'dovich force

@@ -94,6 +94,45 @@ def test_curved_sky_lightcone():
     assert np.isfinite(lp)
 
 
+def test_nbody_lightcone():
+    """N-body light-cone (evolution='nbody', a_obs=None): beyond-reference —
+    the reference asserts this out (model.py:770).  The shell-interpolated
+    N-body matches the LPT light-cone at low k (VERDICT r3 acceptance:
+    transfer ~ 1 well below k_nyq)."""
+    from montecosmo_tpu.metrics import powtranscoh
+
+    kw = dict(curved_sky=True, a_obs=None, box_center=(0.0, 0.0, 1500.0),
+              final_shape=(16,) * 3, cell_length=25.0, lpt_order=2)
+    m_nb = make(evolution="nbody", nbody_n_steps=3, nbody_a_start=0.05, **kw)
+    m_lpt = make(evolution="lpt", **kw)
+
+    lp, pred_nb = fiducial_logpdf(m_nb)
+    assert np.isfinite(lp)
+    _, pred_lpt = fiducial_logpdf(m_lpt)
+
+    gxy_nb = np.asarray(pred_nb["gxy_mesh"])
+    gxy_lpt = np.asarray(pred_lpt["gxy_mesh"])
+    assert np.all(np.isfinite(gxy_nb))
+    ks, _, trans, coh = powtranscoh(gxy_lpt, gxy_nb, m_nb.box_size)
+    low = ks < 0.4 * m_nb.k_nyquist
+    assert np.all(np.abs(np.asarray(trans)[low] - 1) < 0.1), trans
+    assert np.all(np.asarray(coh)[low] > 0.95), coh
+
+
+def test_nbody_lightcone_gradient():
+    model = make(evolution="nbody", nbody_n_steps=2, curved_sky=True,
+                 a_obs=None, box_center=(0.0, 0.0, 1500.0))
+    params = model.reparam(dict(model.fiduc), inv=True)
+    params["white_mesh_"] = jr.normal(jr.key(0), model.init_shape)
+    pred = model.predict(seed=1, samples=params, hide_base=False,
+                         hide_det=False, hide_samp=False)
+    obs = {"count_mesh": pred["count_mesh"]}
+    g = jax.grad(lambda p: model.logpdf({**p, **obs}))(
+        {k: jnp.asarray(v) for k, v in params.items()})
+    for k, v in g.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
 def test_ap_param():
     model = make(ap_auto=False, evolution="lpt", lpt_order=1)
     lp, _ = fiducial_logpdf(model)

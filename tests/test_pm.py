@@ -9,7 +9,8 @@ from jax import numpy as jnp
 
 from montecosmo_tpu.ops.background import Background, Planck18, Cosmology
 from montecosmo_tpu.ops.paint import paint
-from montecosmo_tpu.ops.pm import pm_forces, lpt, nbody_bf, nbody_bf_scan
+from montecosmo_tpu.ops.pm import (pm_forces, lpt, nbody_bf,
+                                   nbody_bf_lightcone, nbody_bf_scan)
 from montecosmo_tpu.ops.power import lin_power_mesh
 from montecosmo_tpu.ops.hermitian import rg2cgh
 from montecosmo_tpu.models.bricks import regular_pos
@@ -114,6 +115,64 @@ def test_nbody_grad_flows(rng):
         link = jnp.fft.rfftn(lin_r)
         p, v = nbody_bf(bg, link, pos, a0=0.0, a1=1.0, n_steps=3)
         mesh = paint(p[-1], SHAPE, order=2)
+        return (mesh**2).mean()
+
+    g = jax.grad(loss)(jnp.fft.irfftn(lin))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_nbody_lightcone_endpoint_exact(rng):
+    """g_tgt = g(a1) for every particle: the light-cone blend puts hat weight
+    1 on the final step boundary, reproducing the nbody_bf endpoint (same
+    step sequence; neighbor hat weights leak at most one f32 ulp)."""
+    cosmo, lin = make_linear_field(rng, amplitude=0.1)
+    bg = Background.create(cosmo)
+    pos = regular_pos(SHAPE)
+    p_ref, v_ref = nbody_bf(bg, lin, pos, a0=0.0, a1=1.0, n_steps=4)
+    g1 = bg.a2g(jnp.asarray(1.0))
+    g_tgt = jnp.full(pos.shape[:-1] + (1,), g1)
+    p_lc, v_lc = nbody_bf_lightcone(bg, lin, pos, g_tgt, a0=0.0, a1=1.0,
+                                    n_steps=4)
+    np.testing.assert_allclose(np.asarray(p_lc), np.asarray(p_ref[-1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_lc), np.asarray(v_ref[-1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nbody_lightcone_boundary_node(rng):
+    """g_tgt exactly at an interior step boundary reproduces that snapshot
+    state: the hat weights select the node exactly."""
+    cosmo, lin = make_linear_field(rng, amplitude=0.1)
+    bg = Background.create(cosmo)
+    pos = regular_pos(SHAPE)
+    n_steps = 4
+    g0, g1 = bg.a2g(jnp.asarray(0.0)), bg.a2g(jnp.asarray(1.0))
+    dg = (g1 - g0) / n_steps
+    # snapshot at every step end, pick node 2 (end of step 2)
+    ps, vs = nbody_bf(bg, lin, pos, a0=0.0, a1=1.0, n_steps=n_steps,
+                      snapshots=[float(bg.g2a(g0 + 2 * dg))])
+    g_tgt = jnp.full(pos.shape[:-1] + (1,), g0 + 2 * dg)
+    p_lc, v_lc = nbody_bf_lightcone(bg, lin, pos, g_tgt, a0=0.0, a1=1.0,
+                                    n_steps=n_steps)
+    np.testing.assert_allclose(np.asarray(p_lc), np.asarray(ps[0]),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_lc), np.asarray(vs[0]),
+                               rtol=0, atol=1e-4)
+
+
+def test_nbody_lightcone_grad_flows(rng):
+    cosmo, lin = make_linear_field(rng, amplitude=0.1)
+    bg = Background.create(cosmo)
+    pos = regular_pos(SHAPE)
+    g1 = bg.a2g(jnp.asarray(1.0))
+    g_tgt = (jnp.linspace(0.2, 1.0, pos.shape[0]) * g1).reshape(-1, 1)
+
+    def loss(lin_r):
+        link = jnp.fft.rfftn(lin_r)
+        p, v = nbody_bf_lightcone(bg, link, pos, g_tgt, a0=0.0, a1=1.0,
+                                  n_steps=3)
+        mesh = paint(p, SHAPE, order=2)
         return (mesh**2).mean()
 
     g = jax.grad(loss)(jnp.fft.irfftn(lin))
