@@ -69,7 +69,7 @@ def probe(n):
         shard = {k: jax.device_put(v, NamedSharding(mesh, spec(k, v)))
                  for k, v in params.items()}
         compiled = fn.lower(shard).compile()
-    return compiled
+    return compiled, shard, mesh
 
 
 def top_shapes(txt, k=25):
@@ -89,12 +89,30 @@ def top_shapes(txt, k=25):
 
 
 for n in ndevs:
-    compiled = probe(n)
+    compiled, shard, mesh = probe(n)
     ma = compiled.memory_analysis()
     print(f"n={n}: temp={ma.temp_size_in_bytes/2**20:8.1f} MiB  "
           f"args={ma.argument_size_in_bytes/2**20:6.1f}  "
           f"out={ma.output_size_in_bytes/2**20:6.1f}  "
           f"alias={ma.alias_size_in_bytes/2**20:6.1f}", flush=True)
+    if os.environ.get("MEMPROBE_EXEC"):
+        # VERDICT r3 #3: EXECUTE the decomposed value+grad (not just
+        # compile) — wall time irrelevant on oversubscribed virtual
+        # devices; the deliverable is a finite logpdf + finite gradient
+        # from the actually-partitioned program.
+        import time
+        with mesh_context(Mesh(np.asarray(jax.devices()[:n]), ("mesh",))):
+            t0 = time.time()
+            val, grad = compiled(shard)
+            val = float(val)
+            gleaves = jax.tree.leaves(grad)
+            gfin = all(bool(np.isfinite(np.asarray(g)).all())
+                       for g in gleaves)
+            gnorm = float(sum(float((np.asarray(g) ** 2).sum())
+                              for g in gleaves)) ** 0.5
+        print(f"  EXEC n={n}: logpdf={val:.6e} finite={np.isfinite(val)} "
+              f"|grad|={gnorm:.6e} grad_finite={gfin} "
+              f"wall={time.time()-t0:.1f}s", flush=True)
     hlo_path = os.environ.get("MEMPROBE_HLO")
     txt = (compiled.as_text()
            if os.environ.get("MEMPROBE_TOP") or hlo_path else None)
