@@ -139,9 +139,10 @@ def build_pm(mesh=256, n_steps=10, box=1000.0):
 def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
     """North-star microbench, host-staged (same math as `build_pm`).
 
-    At 256^3 the paint falls back to scatters (the displacement window
-    exceeds the 24-cell bound) and one monolithic 10-step value+grad runs
-    ~90 s on-device — past the axon ~30-60 s program kill (BENCH_NOTES.md).
+    Paint/read go through the scatter-free window path (max_disp =
+    ceil(45 Mpc/h / cell) = 12 cells at 256^3/box 1000), but one monolithic
+    10-step value+grad still runs ~90 s on-device — past the axon ~30-60 s
+    program kill (BENCH_NOTES.md).
     Split the integration at program boundaries with
     `utils.staged.host_scan_value_and_grad`: init / each BullFrog step /
     loss / each transpose is its own program of ~1-3 force evaluations.
