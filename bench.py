@@ -232,6 +232,7 @@ def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
 def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):
     import jax
 
+    _lock = _acquire_tpu_lock()  # noqa: F841 — held until process exit
     if not _backend_alive():
         print(json.dumps({
             "metric": f"pure PM N-body forward+grad at {mesh}^3 "
@@ -272,6 +273,28 @@ def main_pm(mesh=256, n_steps=10, n_warmup=2, n_iter=10):
     return result
 
 
+def _acquire_tpu_lock(timeout_s=900):
+    """Serialize against campaign jobs: run/tpu_queue_*.sh wraps every TPU
+    job in `flock /tmp/montecosmo_tpu.lock`; two concurrent TPU processes
+    wedge the axon worker (CLAUDE.md rule 10, VERDICT r4 weak #2). Wait for
+    the lock (bounded), hold it until process exit. Returns the fd or None
+    (proceed anyway — the backend probe catches a genuinely held chip)."""
+    import fcntl
+
+    fd = open("/tmp/montecosmo_tpu.lock", "w")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except OSError:
+            if time.time() > deadline:
+                print("# tpu lock still held after wait; proceeding",
+                      file=sys.stderr)
+                return None
+            time.sleep(10)
+
+
 def _backend_alive(timeout_s=420):
     """Probe the backend with a tiny jit under a hard timeout: the axon
     remote worker can wedge into an UNAVAILABLE state where every device
@@ -303,6 +326,7 @@ def main(final=128, n_warmup=2, n_iter=10, paint_method="auto",
          evolution="lpt"):
     import jax
 
+    _lock = _acquire_tpu_lock()  # noqa: F841 — held until process exit
     if not _backend_alive():
         print(json.dumps({
             "metric": f"PM forward+grad evals/sec at {final}^3 final mesh",
@@ -351,3 +375,10 @@ if __name__ == "__main__":
         final = int(sys.argv[1]) if len(sys.argv) > 1 else 128
         main(final, paint_method=sys.argv[2] if len(sys.argv) > 2 else "auto",
              evolution=sys.argv[3] if len(sys.argv) > 3 else "lpt")
+    # The JSON line is out (success or explicit error line): exit 0 without
+    # running interpreter teardown — a probe thread hung on a wedged axon
+    # backend otherwise aborts the process at exit (rc 134, VERDICT r4 #7).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os as _os
+    _os._exit(0)

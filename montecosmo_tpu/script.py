@@ -633,7 +633,21 @@ def _laplace_seed(logpdf, p_block, others):
         cols.append(np.asarray(hvp(e)))  # transfer: one program per column
     hess = -np.stack(cols, axis=1).astype(np.float64)  # precision of logpdf
     hess = 0.5 * (hess + hess.T)
-    w, v = np.linalg.eigh(hess)
+    if not np.all(np.isfinite(hess)):
+        raise FloatingPointError("non-finite Hessian at warm start")
+    try:
+        w, v = np.linalg.eigh(hess)
+    except np.linalg.LinAlgError:
+        # LAPACK non-convergence on extreme-conditioned Hessians (killed the
+        # round-4 nuts32 campaign): equilibrate to unit diagonal and retry —
+        # with H = S A S, S = diag(sqrt|diag H|), the PSD-ified inverse of H
+        # is S^-1 (v |w|^-1 v^T) S^-1 from the eigensystem of A
+        s = np.sqrt(np.maximum(np.abs(np.diag(hess)), 1e-30))
+        w, v = np.linalg.eigh(hess / np.outer(s, s))
+        wa = np.maximum(np.abs(w), 1e-6 * max(np.abs(w).max(), 1e-30))
+        cov = ((v / wa) @ v.T) / np.outer(s, s)
+        return (jnp.asarray(0.5 * (cov + cov.T), jnp.result_type(float)),
+                wa * float(np.median(s)) ** 2)
     w = np.abs(w)
     w = np.maximum(w, 1e-6 * max(w.max(), 1e-30))
     cov = (v / w) @ v.T
@@ -703,12 +717,18 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
                 p0 = {k: jnp.asarray(params_warm[k][0]) for k in rest_keys}
                 o0 = {k: jnp.asarray(v[0]) for k, v in params_warm.items()
                       if k not in rest_keys}
-                cov, w = _laplace_seed(model.logpdf, p0, o0)
-                seed_invmm = dict(seed_invmm or {})
-                seed_invmm["rest_"] = cov
-                print(f"  nuts warmup [rest_] Laplace-seeded mass "
-                      f"({d_rest} dims, curvature {w.min():.3g}..{w.max():.3g})",
-                      flush=True)
+                try:
+                    cov, w = _laplace_seed(model.logpdf, p0, o0)
+                    seed_invmm = dict(seed_invmm or {})
+                    seed_invmm["rest_"] = cov
+                    print(f"  nuts warmup [rest_] Laplace-seeded mass "
+                          f"({d_rest} dims, curvature "
+                          f"{w.min():.3g}..{w.max():.3g})", flush=True)
+                except (np.linalg.LinAlgError, FloatingPointError) as exc:
+                    # a failed seed must never kill a campaign — window
+                    # adaptation re-estimates the mass anyway
+                    print(f"  nuts warmup [rest_] Laplace seed failed "
+                          f"({exc}); falling back to unit mass", flush=True)
             with phase("full_warmup"):
                 state, config, n_evals = _segmented_nuts_warmup(
                     model.logpdf, n_steps, n_chains, jr.key(seed), params_warm,

@@ -44,9 +44,15 @@ if final <= 64:
                          hide_det=False, hide_samp=False)
     obs = {"count_mesh": np.asarray(pred["count_mesh"])}
 else:
-    # compile-only probe: any observation array of the right shape does
+    # synthetic flat observation: fine for the memory probe (compile) and
+    # for MEMPROBE_EXEC finiteness checks, but note EXEC at final>64 then
+    # measures value+grad on CONSTANT fake data, not a realistic field
     obs = {"count_mesh": np.full(model.final_shape, model.count_fid,
                                  np.float32)}
+    if os.environ.get("MEMPROBE_EXEC"):
+        print(f"WARNING: MEMPROBE_EXEC at final={final} runs against a "
+              "synthetic flat count_mesh — finiteness only, not validation "
+              "on realistic data", flush=True)
 
 
 def probe(n):
@@ -101,18 +107,18 @@ for n in ndevs:
         # devices; the deliverable is a finite logpdf + finite gradient
         # from the actually-partitioned program.
         import time
-        with mesh_context(Mesh(np.asarray(jax.devices()[:n]), ("mesh",))):
+        with mesh_context(mesh):
             t0 = time.time()
             val, grad = compiled(shard)
-            val = float(val)
-            gleaves = jax.tree.leaves(grad)
-            gfin = all(bool(np.isfinite(np.asarray(g)).all())
-                       for g in gleaves)
-            gnorm = float(sum(float((np.asarray(g) ** 2).sum())
-                              for g in gleaves)) ** 0.5
+            val = float(val)  # forces execution (axon lazy dispatch)
+            t1 = time.time()
+            gl = [np.asarray(g) for g in jax.tree.leaves(grad)]
+            gfin = all(bool(np.isfinite(g).all()) for g in gl)
+            gnorm = float(sum(float((g.astype(np.float64) ** 2).sum())
+                              for g in gl)) ** 0.5
         print(f"  EXEC n={n}: logpdf={val:.6e} finite={np.isfinite(val)} "
               f"|grad|={gnorm:.6e} grad_finite={gfin} "
-              f"wall={time.time()-t0:.1f}s", flush=True)
+              f"wall={t1-t0:.1f}s", flush=True)
     hlo_path = os.environ.get("MEMPROBE_HLO")
     txt = (compiled.as_text()
            if os.environ.get("MEMPROBE_TOP") or hlo_path else None)

@@ -52,6 +52,8 @@ job_nuts32d() {
 
 run_job() {
   local name=$1 tries=$2
+  declare -f "job_$name" >/dev/null || {
+    echo "=== unknown job $name — skipped" >>"$LOG"; return 1; }
   for t in $(seq 1 "$tries"); do
     echo "=== $name try $t start $(date -u '+%F %T')" >>"$LOG"
     if ! probe; then
