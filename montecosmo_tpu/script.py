@@ -1036,9 +1036,35 @@ def _make_nuts_host_runner(logpdf, config, n_chains, seg, host_m):
 # ---------------------------------------------------------------------------
 # Chains post-processing
 # ---------------------------------------------------------------------------
+def _host_backend():
+    """Post-processing placement: the in-process CPU backend when the default
+    backend is a TPU. Chain post-processing is modest-sized, eager-heavy, and
+    complex-valued — on the axon runtime eager complex ops, complex
+    transfers, and complex closure-constant embedding are all UNIMPLEMENTED
+    (killed the round-4 ess64 campaign in `load_runs`' outer jit), and every
+    eager op costs ~20 ms through the tunnel. The CPU backend has none of
+    these constraints and frees the chip for sampling."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix=""):
     """Load runs, reparametrize, compute field statistics, plot corner/trace
-    panels, and save consolidated chain files."""
+    panels, and save consolidated chain files. Runs on the host CPU backend
+    (see `_host_backend`)."""
+    with _host_backend():
+        return _make_chains(save_dir, start, end, thinning, reparb, prefix)
+
+
+def _make_chains(save_dir, start=1, end=100, thinning=1, reparb=False,
+                 prefix=""):
     import matplotlib.pyplot as plt
     from montecosmo_tpu.chains import Chains
     from montecosmo_tpu.models.model import FieldLevelModel
@@ -1146,7 +1172,14 @@ def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix="")
 def make_logdf_mesh(save_dir, start=1, end=100, thinning=1, prefix="",
                     site="count_mesh"):
     """Per-voxel posterior-predictive (logpdf, logcdf) meshes of `site` over
-    the thinned chains — goodness-of-fit maps."""
+    the thinned chains — goodness-of-fit maps. Runs on the host CPU backend
+    (see `_host_backend`)."""
+    with _host_backend():
+        return _make_logdf_mesh(save_dir, start, end, thinning, prefix, site)
+
+
+def _make_logdf_mesh(save_dir, start=1, end=100, thinning=1, prefix="",
+                     site="count_mesh"):
     from montecosmo_tpu.chains import Chains
     from montecosmo_tpu.models.model import FieldLevelModel
     from montecosmo_tpu.utils.safe import nvmap
@@ -1178,7 +1211,13 @@ def make_logdf_mesh(save_dir, start=1, end=100, thinning=1, prefix="",
 
 
 def compare_chains(load_dirs, labels, save_dir="./"):
-    """Multi-experiment corner + field-statistics comparison."""
+    """Multi-experiment corner + field-statistics comparison. Runs on the
+    host CPU backend (see `_host_backend`)."""
+    with _host_backend():
+        return _compare_chains(load_dirs, labels, save_dir)
+
+
+def _compare_chains(load_dirs, labels, save_dir="./"):
     import matplotlib.pyplot as plt
     from montecosmo_tpu.chains import Chains
     from montecosmo_tpu.models.model import FieldLevelModel
