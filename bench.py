@@ -281,6 +281,9 @@ def _acquire_tpu_lock(timeout_s=900):
     (proceed anyway — the backend probe catches a genuinely held chip)."""
     import fcntl
 
+    import os
+    if os.environ.get("MONTECOSMO_TPU_LOCK_HELD"):
+        return None  # an ancestor (queue job wrapper) already holds it
     fd = open("/tmp/montecosmo_tpu.lock", "w")
     deadline = time.time() + timeout_s
     while True:

@@ -228,8 +228,9 @@ def _paint_windows_xstream(posg, wg, bases, xoffs, *, nG, G, W, stride,
     def step(carry, args):
         px, wx, bx, off = args
         blk = xslab((px, wx, bx))
-        cur = lax.dynamic_slice(carry, (off, 0, 0), blk.shape)
-        return lax.dynamic_update_slice(carry, cur + blk, (off, 0, 0)), None
+        z = jnp.zeros((), off.dtype)  # match off (x64 mode: bare 0 -> int64)
+        cur = lax.dynamic_slice(carry, (off, z, z), blk.shape)
+        return lax.dynamic_update_slice(carry, cur + blk, (off, z, z)), None
 
     if init is None:
         init = jnp.zeros((ext_len,) + tuple(yz_shape), dtype)

@@ -242,6 +242,10 @@ def main():
         init_distributed()
         print(process_summary())
 
+    if args.obs is not None and not args.obs:
+        # an empty --obs (e.g. an unexported shell variable expanding to
+        # nothing) would silently infer EVERYTHING, observation included
+        ap.error("--obs given with no site names; omit the flag for defaults")
     obs_names = list(args.obs) if args.obs is not None else list(DEFAULT_OBS)
     if args.lik_type == "fourier_gauss":
         obs_names += ["s_ed", "s_e2", "s_ep"]

@@ -22,9 +22,13 @@ LOG=/tmp/queue_r5.log
 LOCK=/tmp/montecosmo_tpu.lock
 REG=registered/register_synthetic_z1.000_b64_p0.h5
 DEADLINE=${QUEUE_DEADLINE_EPOCH:-$(( $(date +%s) + 19800 ))}
-OBS3="count_mesh white_mesh b2 bs2 b3 bds2 bs3 bn2 bnpar fNL fNL_bp fNL_bpd \
-fNL_bpd2 fNL_bps2 fNL_bn2p alpha_iso alpha_ap ngbars s_e s_k2e s_kmu2e \
-s_ed s_e2 s_ep"
+# exported: job functions run in a `bash -c` child (export -f), where an
+# unexported var expands EMPTY — an empty --obs made the r5 nuts32 campaign
+# infer everything including the observation itself
+export OBS3="count_mesh white_mesh b2 bs2 b3 bds2 bs3 bn2 bnpar fNL fNL_bp \
+fNL_bpd fNL_bpd2 fNL_bps2 fNL_bn2p alpha_iso alpha_ap ngbars s_e s_k2e \
+s_kmu2e s_ed s_e2 s_ep"
+export REG
 
 probe() {
   # under the lock too: even a 20 ms probe op must not poke the chip while
@@ -58,8 +62,17 @@ job_nuts32() {
   && python run/ess_report.py results/*nuts32r5* | tee results/nuts32r5_report.txt
 }
 job_profile256() {
-  MONTECOSMO_PM_PROFILE=1 MONTECOSMO_STAGED_EVAL=1 timeout 3600 \
-    python run/profile_stages.py 256
+  # VERDICT r4 next#3: attribute the 55.8 s/eval of the NORTH-STAR PM
+  # microbench (bench.py pm 256, staged BullFrog) — MONTECOSMO_PM_PROFILE
+  # prints per-stage wall times inside build_pm_staged. (profile_stages.py
+  # profiles the FULL model and its stage-5 build RESOURCE_EXHAUSTs at
+  # 256^3 single-chip.)
+  MONTECOSMO_PM_PROFILE=1 timeout 3600 python bench.py pm 256
+}
+job_profile256spp() {
+  # same, with 5 BullFrog steps per device program (fewer, larger programs)
+  MONTECOSMO_PM_PROFILE=1 MONTECOSMO_PM_STEPS_PER_PROGRAM=5 \
+    timeout 3600 python bench.py pm 256
 }
 
 run_job() {
@@ -76,7 +89,10 @@ run_job() {
       echo "=== $name try $t ABORT: backend dead" >>"$LOG"
       continue
     fi
-    flock "$LOCK" bash -c "job_$name" >>"/tmp/queue_r5_$name.log" 2>&1
+    # MONTECOSMO_TPU_LOCK_HELD: bench.py self-locks the same file; tell it
+    # the ancestor already holds it (else it waits out its 900 s timeout)
+    MONTECOSMO_TPU_LOCK_HELD=1 flock "$LOCK" bash -c "job_$name" \
+      >>"/tmp/queue_r5_$name.log" 2>&1
     local rc=$?
     echo "=== $name try $t rc=$rc end $(date -u '+%F %T')" >>"$LOG"
     [ "$rc" -eq 0 ] && return 0
@@ -84,7 +100,7 @@ run_job() {
   done
   return 1
 }
-export -f job_bench128 job_benchpm job_nuts32 job_profile256 2>/dev/null
+export -f job_bench128 job_benchpm job_nuts32 job_profile256 job_profile256spp 2>/dev/null
 
 JOBS=${*:-"bench128 nuts32 profile256"}
 for j in $JOBS; do

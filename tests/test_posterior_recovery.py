@@ -47,13 +47,34 @@ def test_posterior_recovers_fiducial(tmp_path):
                                    progress_bar=False), n_chains)
     state, samples = run(jr.split(jr.key(11), n_chains), state, config)
 
+    post = {}
     for name in ("Omega_m", "sigma8", "b1"):
         x = np.asarray(samples[name + "_"]).reshape(-1)
         x = np.asarray(jax.vmap(
             lambda v, n=name: model.reparam({n + "_": v})[n])(jnp.asarray(x)))
+        post[name] = x
         true_val = float(np.asarray(model.fiduc[name]))
         lo, hi = np.quantile(x, [0.005, 0.995])
-        width = hi - lo
-        assert lo - 0.5 * width <= true_val <= hi + 0.5 * width, (
-            f"{name}: truth {true_val} outside [{lo}, {hi}] (+50% margin)")
+        # truth inside the ACTUAL 99% interval — no widening (VERDICT r4 #7)
+        assert lo <= true_val <= hi, (
+            f"{name}: truth {true_val} outside 99% interval [{lo}, {hi}]")
         assert np.isfinite(x).all()
+
+    # committed evidence: corner plot of the recovered posterior
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from pathlib import Path
+        from montecosmo_tpu.plot import corner_plot
+        from montecosmo_tpu.chains import Samples
+
+        sel = Samples({k: v.reshape(1, -1) for k, v in post.items()})
+        corner_plot(sel, markers={k: float(np.asarray(model.fiduc[k]))
+                                  for k in post})
+        out = Path(__file__).parent.parent / "results" / "posterior_recovery.png"
+        out.parent.mkdir(exist_ok=True)
+        plt.savefig(out, dpi=200)
+        plt.close()
+    except Exception as e:  # plot is evidence, not the assertion
+        print(f"corner plot skipped: {type(e).__name__}: {e}")
