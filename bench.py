@@ -116,7 +116,12 @@ def build_pm(mesh=256, n_steps=10, box=1000.0):
 
     shape, box_size = 3 * (mesh,), 3 * (float(box),)
     cell = box / mesh
-    max_disp = int(np.ceil(45.0 / cell))  # same displacement bound as model
+    # displacement bound: blanket 45 Mpc/h, overridable after measuring the
+    # actual distribution (run/disp_bound.py) — md sets the window-matmul
+    # margin, the dominant term of the 256^3 profile (BENCH_NOTES round 5)
+    import os as _os
+    bound = float(_os.environ.get("MONTECOSMO_PM_MAX_DISP_MPC", 45.0))
+    max_disp = int(np.ceil(bound / cell))
     cosmo = Planck18()
 
     def loss_fn(white):
@@ -162,7 +167,8 @@ def build_pm_staged(mesh=256, n_steps=10, box=1000.0):
 
     shape, box_size = 3 * (mesh,), 3 * (float(box),)
     cell = box / mesh
-    max_disp = int(np.ceil(45.0 / cell))
+    bound = float(os.environ.get("MONTECOSMO_PM_MAX_DISP_MPC", 45.0))
+    max_disp = int(np.ceil(bound / cell))
     cosmo = Planck18()
 
     # concrete growth knots (one tiny device program; Background tables must

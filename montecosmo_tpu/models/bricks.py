@@ -23,7 +23,7 @@ from montecosmo_tpu.ops.paint import nufft, paint, read, read_multi, read_sites
 from montecosmo_tpu.ops.power import lin_power, lin_power_interp, lin_power_mesh
 from montecosmo_tpu.models.truncnorm import std2trunc, trunc2std
 from montecosmo_tpu.utils.geometry import cart2radecrad, radecrad2cart
-from montecosmo_tpu.utils.safe import nvmap, safe_div
+from montecosmo_tpu.utils.safe import nvmap, safe_div, safe_sqrt
 
 
 # ======================================================================= power / PNG
@@ -85,7 +85,7 @@ def white2lin(cosmo: Cosmology, white_mesh, init_shape, box_size, kpow=None):
     """
     pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow,
                            like=white_mesh)
-    return white_mesh * pmesh**0.5
+    return white_mesh * safe_sqrt(pmesh)
 
 
 def lin2white(cosmo: Cosmology, lin_mesh, init_shape, box_size, kpow=None):
@@ -95,7 +95,7 @@ def lin2white(cosmo: Cosmology, lin_mesh, init_shape, box_size, kpow=None):
     """
     pmesh = lin_power_mesh(cosmo, init_shape, box_size, kpow=kpow,
                            like=lin_mesh)
-    return safe_div(lin_mesh, pmesh**0.5)
+    return safe_div(lin_mesh, safe_sqrt(pmesh))
 
 
 # ======================================================================= Kaiser

@@ -469,12 +469,16 @@ def nuts_host_transition(logdensity_fn, position_like, *, max_num_doublings=None
                     energy=-tree.ld_prop)
         return new, info
 
-    p_init = jax.jit(jax.vmap(one_init))
-    p_prep = jax.jit(jax.vmap(one_prep))
-    p_active = jax.jit(jax.vmap(one_active))
-    p_merge = jax.jit(jax.vmap(one_merge))
-    p_final = jax.jit(jax.vmap(one_final))
-    p_chunks = {m: jax.jit(jax.vmap(partial(one_chunk, m=m)))
+    from montecosmo_tpu.utils.safe import retry_transient
+
+    # every jitted program in the host loop is retry-wrapped: one transient
+    # tunnel drop otherwise kills a whole campaign mid-warmup (round 5)
+    p_init = retry_transient(jax.jit(jax.vmap(one_init)))
+    p_prep = retry_transient(jax.jit(jax.vmap(one_prep)))
+    p_active = retry_transient(jax.jit(jax.vmap(one_active)))
+    p_merge = retry_transient(jax.jit(jax.vmap(one_merge)))
+    p_final = retry_transient(jax.jit(jax.vmap(one_final)))
+    p_chunks = {m: retry_transient(jax.jit(jax.vmap(partial(one_chunk, m=m))))
                 for m in ({1 << k for k in range(m_max.bit_length())})}
 
     def step(keys, state, step_size, invmm, cond):

@@ -137,12 +137,16 @@ def _segmented_warmup(logpdf, n_steps, desired_energy_var, tune_mass,
         print(f"  warmup: f32 energy-noise floor {_floor:.1e}/dim exceeds "
               f"desired_energy_var {desired_energy_var:.1e} — tuner clamped "
               f"to the floor (|logpdf| ~ {_labs:.2e}, d={_d})", flush=True)
-    chunk1 = jit(vmap(partial(_warmup_chunk, stream_moments=False,
-                              logdf=logpdf,
-                              desired_energy_var=desired_energy_var)))
-    chunk2 = jit(vmap(partial(_warmup_chunk, stream_moments=True,
-                              logdf=logpdf,
-                              desired_energy_var=desired_energy_var)))
+    from montecosmo_tpu.utils.safe import retry_transient
+
+    # retry-wrapped: chunk calls are pure (carry -> carry), and one axon
+    # tunnel drop must not kill a campaign 15 min into its warmup (round 5)
+    chunk1 = retry_transient(jit(vmap(partial(
+        _warmup_chunk, stream_moments=False, logdf=logpdf,
+        desired_energy_var=desired_energy_var))))
+    chunk2 = retry_transient(jit(vmap(partial(
+        _warmup_chunk, stream_moments=True, logdf=logpdf,
+        desired_energy_var=desired_energy_var))))
 
     plan, i = [], 0  # (phase, key offset, length) per chunk
     for seg in _segments(steps1, MAX_STEPS_PER_CALL):
@@ -491,7 +495,9 @@ def _segmented_nuts_warmup(logpdf, n_steps, n_chains, key, pos,
                         (i + 1) % ckpt_every == 0 or i + 1 == n_steps):
                     _save_carry(bckpt, carry, i + 1, n_evals)
         else:
-            chunk_jit = jit(vmap(chunk))  # hoisted: 1 compile per segment size
+            from montecosmo_tpu.utils.safe import retry_transient
+            chunk_jit = retry_transient(
+                jit(vmap(chunk)))  # hoisted: 1 compile per segment size
             chunks = _AdaptiveChunks(max(1, MAX_STEPS_PER_CALL // 32),
                                      cap=max(MAX_STEPS_PER_CALL, 1))
             i, n_chunk = start_i, 0
@@ -870,8 +876,9 @@ def full_run(model, state, config, chains_dir, n_samples, n_runs, n_chains,
         return lambda key, st: run_fn(jr.split(key, n_chains), st, config)
 
     def run_segment(run_key, state, seg):
+        from montecosmo_tpu.utils.safe import retry_transient
         if seg not in _runners:
-            _runners[seg] = _make_runner(seg)
+            _runners[seg] = retry_transient(_make_runner(seg))
         return _runners[seg](run_key, state)
 
     # NUTS sweep cost varies with tree depth: size programs adaptively from

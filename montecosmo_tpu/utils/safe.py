@@ -8,6 +8,48 @@ import numpy as np
 from jax import jit, vmap, numpy as jnp
 
 
+def retry_transient(fn, attempts=3, sleep_s=10.0):
+    """Wrap a jitted callable with bounded retries on TRANSIENT runtime
+    errors of the remote TPU tunnel (axon): the compile/execute service
+    intermittently drops valid requests ("remote_compile: read body...",
+    INTERNAL/UNAVAILABLE) — observed killing a NUTS campaign 15 min into
+    its warmup (round 5). Retrying a pure jitted call is safe; persistent
+    failures re-raise after `attempts`."""
+    import time
+
+    import jax
+
+    @wraps(getattr(fn, "__wrapped__", fn))
+    def call(*args, **kwargs):
+        for i in range(attempts):
+            try:
+                return fn(*args, **kwargs)
+            except jax.errors.JaxRuntimeError as exc:
+                msg = str(exc)
+                transient = any(s in msg for s in (
+                    "remote_compile", "INTERNAL", "UNAVAILABLE",
+                    "read body", "broken pipe"))
+                if not transient or i == attempts - 1:
+                    raise
+                print(f"# retrying after transient runtime error: "
+                      f"{msg.splitlines()[0][:120]}", flush=True)
+                time.sleep(sleep_s)
+    return call
+
+
+def safe_sqrt(x):
+    """sqrt with all-orders-clean derivatives at x <= 0 (double-where).
+
+    A bare `x**0.5` on a mesh with EXACT zeros (e.g. a power mesh whose
+    below-table/DC entries are masked to 0.0) has an infinite-slope vjp
+    there; re-linearizing that vjp (forward-over-reverse HVPs, e.g. the
+    NUTS Laplace mass seed) produces inf*0 = NaN even though value and
+    first gradient are finite. Measured: all-NaN 3x3 scalar Hessians of
+    the full model at the warm start (round 5)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def safe_div(x, y):
     """Division where division by zero yields zero, with safe gradients.
 

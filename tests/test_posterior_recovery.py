@@ -67,9 +67,9 @@ def test_posterior_recovers_fiducial(tmp_path):
         import matplotlib.pyplot as plt
         from pathlib import Path
         from montecosmo_tpu.plot import corner_plot
-        from montecosmo_tpu.chains import Samples
+        from montecosmo_tpu.chains import Chains
 
-        sel = Samples({k: v.reshape(1, -1) for k, v in post.items()})
+        sel = Chains({k: v.reshape(1, -1) for k, v in post.items()})
         corner_plot(sel, markers={k: float(np.asarray(model.fiduc[k]))
                                   for k in post})
         out = Path(__file__).parent.parent / "results" / "posterior_recovery.png"
