@@ -939,18 +939,33 @@ def fullsky2count(data, bg: Background, a_obs: float, los,
 
 
 def set_radial_count(mesh, rmesh, redges, rcounts):
-    """Multiply mesh by per-radial-bin counts (scan over bins: one fused
-    select per shell, no gather).
+    """Multiply mesh by each cell's per-radial-bin count (right-closed bins
+    (low, high]; cells outside every bin are left unchanged).
 
     Parity: bricks.py:1106-1122.
+
+    TPU-native formulation (round 5): a piecewise-constant lookup — per-cell
+    index arithmetic on the CONCRETE bin edges + one (n_bins,)-row gather of
+    the traced counts. The previous per-bin `lax.scan` saved an
+    (n_bins, mesh) carry stack AND a same-sized mask stack for the backward
+    pass: 330 bins x local 512^3 slab ~ 14 GB/device at n=16 — the bulk of
+    the BASELINE row-5 replicated-memory tail. The gather transpose is a
+    segment-sum into the tiny (n_bins,) table.
     """
-    assert len(redges) == len(rcounts) + 1
-    xs = jnp.stack((jnp.asarray(rcounts),
-                    jnp.asarray(redges[:-1]), jnp.asarray(redges[1:])), axis=-1)
-
-    def step(carry, x):
-        count, low, high = x
-        rmask = (low < rmesh) & (rmesh <= high)
-        return jnp.where(rmask, carry * count, carry), None
-
-    return lax.scan(step, mesh, xs)[0]
+    redges = np.asarray(redges, np.float64)
+    rcounts = jnp.asarray(rcounts)
+    n_bins = rcounts.shape[0]
+    assert len(redges) == n_bins + 1
+    dr = np.diff(redges)
+    if np.allclose(dr, dr[0], rtol=1e-6, atol=0.0):
+        # uniform edges (register builds them with linspace): ceil maps
+        # r in (r0 + i dr, r0 + (i+1) dr] -> i, exact edges downward —
+        # the right-closed convention of the reference
+        t = (rmesh - redges[0]) / dr[0]
+        idx = jnp.ceil(t).astype(jnp.int32) - 1
+    else:
+        idx = jnp.searchsorted(jnp.asarray(redges, rmesh.dtype), rmesh,
+                               side="left").astype(jnp.int32) - 1
+    inside = (idx >= 0) & (idx < n_bins)
+    mult = jnp.take(rcounts, jnp.clip(idx, 0, n_bins - 1), axis=0)
+    return mesh * jnp.where(inside, mult, jnp.ones((), mesh.dtype))

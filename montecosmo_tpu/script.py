@@ -631,8 +631,10 @@ def _laplace_seed(logpdf, p_block, others):
     def lp_flat(f):
         return logpdf({**others, **unravel(f)})
 
+    from montecosmo_tpu.utils.safe import retry_transient
+
     gfn = jax.grad(lp_flat)
-    hvp = jit(lambda v: jax.jvp(gfn, (flat0,), (v,))[1])
+    hvp = retry_transient(jit(lambda v: jax.jvp(gfn, (flat0,), (v,))[1]))
     cols = []
     for i in range(d):
         e = jnp.zeros_like(flat0).at[i].set(1.0)
@@ -730,11 +732,14 @@ def full_warmup(model, obs, state_field, chains_dir, n_steps, desired_energy_var
                     print(f"  nuts warmup [rest_] Laplace-seeded mass "
                           f"({d_rest} dims, curvature "
                           f"{w.min():.3g}..{w.max():.3g})", flush=True)
-                except (np.linalg.LinAlgError, FloatingPointError) as exc:
+                except (np.linalg.LinAlgError, FloatingPointError,
+                        jax.errors.JaxRuntimeError) as exc:
                     # a failed seed must never kill a campaign — window
-                    # adaptation re-estimates the mass anyway
+                    # adaptation re-estimates the mass anyway (the runtime
+                    # case: a persistent tunnel failure after retries)
                     print(f"  nuts warmup [rest_] Laplace seed failed "
-                          f"({exc}); falling back to unit mass", flush=True)
+                          f"({str(exc).splitlines()[0][:100]}); falling back "
+                          f"to unit mass", flush=True)
             with phase("full_warmup"):
                 state, config, n_evals = _segmented_nuts_warmup(
                     model.logpdf, n_steps, n_chains, jr.key(seed), params_warm,
