@@ -40,7 +40,12 @@ def main():
         [sys.executable, *cmd], cwd=REPO, env=env, check=True)
 
     run("run/register.py", "synthetic",
-        "--cell-budget", str(16**3), "--n-ptcl", str(args.n_ptcl),
+        # 32^3 final mesh (evolution mesh 56^3): every mesh extent must
+        # DIVIDE the spatial mesh (56/4 = 14) or the pencil islands fall
+        # back to layouts that trip an XLA:CPU fft-thunk assert at tiny
+        # sizes (upstream bug; TPU backends are unaffected). This is the
+        # round-4 hardware smoke config.
+        "--cell-budget", str(32**3), "--n-ptcl", str(args.n_ptcl),
         "--box-size", "320", "--init-oversamp", "1.0",
         "--paint-oversamp", "1.0",
         "--out", str(save / "registered"), "--platform", "cpu")
@@ -49,8 +54,8 @@ def main():
     run("run/infer.py", "--register", str(reg),
         "--evolution", "lpt", "--self-data",
         "--spatial-mesh", str(args.spatial_mesh), "--n-chains", "2",
-        "--n-steps-field", "32", "--n-steps-full", "32",
-        "--n-samples", "4", "--n-runs", "1", "--thinning", "2",
+        "--n-steps-field", "16", "--n-steps-full", "16",
+        "--n-samples", "2", "--n-runs", "1", "--thinning", "2",
         "--save-root", str(save / "results"), "--platform", "cpu")
 
     out = sorted((save / "results").iterdir())[-1]
