@@ -1465,9 +1465,20 @@ class FieldLevelModel(Model):
         # jit with mesh0 as an ARGUMENT: the reference mesh is typically the
         # register's complex device-resident ICs, and both eager complex ops
         # and complex closure-constant embedding are UNIMPLEMENTED on the
-        # TPU runtime (plus eager dispatch is a ~20 ms/op tunnel crawl)
-        fn = jax.jit(lambda data, m0: nvmap(
-            lambda x: self.powtranscoh(m0, x, kedges=kedges), batch_ndim)(data))
+        # TPU runtime (plus eager dispatch is a ~20 ms/op tunnel crawl).
+        # lax.map (sequential), NOT nvmap: batch-vmapped small FFTs trip an
+        # XLA:CPU fft-thunk layout assert (fft_thunk.cc:167 dim0-major) —
+        # post-processing runs on the host CPU backend and is not
+        # throughput-critical.
+        def fn(data, m0):
+            batch = jnp.shape(data)[:batch_ndim]
+            flat = jnp.reshape(data, (-1,) + jnp.shape(data)[batch_ndim:])
+            out = jax.lax.map(
+                lambda x: self.powtranscoh(m0, x, kedges=kedges), flat)
+            return jax.tree.map(
+                lambda o: jnp.reshape(o, batch + jnp.shape(o)[1:]), out)
+
+        fn = jax.jit(fn)
         for name in np.atleast_1d(names):
             chains.data[f"kptc_{name}"] = fn(chains.data[name], mesh0)
         return chains

@@ -1070,8 +1070,13 @@ def _host_backend():
 def make_chains(save_dir, start=1, end=100, thinning=1, reparb=False, prefix=""):
     """Load runs, reparametrize, compute field statistics, plot corner/trace
     panels, and save consolidated chain files. Runs on the host CPU backend
-    (see `_host_backend`)."""
-    with _host_backend():
+    (see `_host_backend`), with any ambient mesh context DEACTIVATED: a
+    --spatial-mesh campaign enters mesh_context around the whole pipeline,
+    and the pencil-FFT islands on the post-processing's small vmapped
+    meshes trip an XLA:CPU fft-thunk layout assert (fft_thunk.cc:167)."""
+    from montecosmo_tpu.parallel.context import mesh_context
+
+    with _host_backend(), mesh_context(None):
         return _make_chains(save_dir, start, end, thinning, reparb, prefix)
 
 
@@ -1185,8 +1190,10 @@ def make_logdf_mesh(save_dir, start=1, end=100, thinning=1, prefix="",
                     site="count_mesh"):
     """Per-voxel posterior-predictive (logpdf, logcdf) meshes of `site` over
     the thinned chains — goodness-of-fit maps. Runs on the host CPU backend
-    (see `_host_backend`)."""
-    with _host_backend():
+    (see `_host_backend`, mesh context deactivated as in make_chains)."""
+    from montecosmo_tpu.parallel.context import mesh_context
+
+    with _host_backend(), mesh_context(None):
         return _make_logdf_mesh(save_dir, start, end, thinning, prefix, site)
 
 
@@ -1224,8 +1231,10 @@ def _make_logdf_mesh(save_dir, start=1, end=100, thinning=1, prefix="",
 
 def compare_chains(load_dirs, labels, save_dir="./"):
     """Multi-experiment corner + field-statistics comparison. Runs on the
-    host CPU backend (see `_host_backend`)."""
-    with _host_backend():
+    host CPU backend (see `_host_backend`, mesh context deactivated)."""
+    from montecosmo_tpu.parallel.context import mesh_context
+
+    with _host_backend(), mesh_context(None):
         return _compare_chains(load_dirs, labels, save_dir)
 
 
