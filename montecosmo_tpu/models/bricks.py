@@ -956,6 +956,16 @@ def set_radial_count(mesh, rmesh, redges, rcounts):
     rcounts = jnp.asarray(rcounts)
     n_bins = rcounts.shape[0]
     assert len(redges) == n_bins + 1
+    if n_bins <= 4:
+        # few bins (the default synthetic/flat-sky configs have 1): a chain
+        # of fused selects costs nothing, while the per-cell table gather
+        # below pays the ~8 ns/element gather wall (measured: bench 128^3
+        # 0.92 -> 0.81 evals/s when the lookup ran with n_bins = 1)
+        out = mesh
+        for b in range(n_bins):
+            rmask = (redges[b] < rmesh) & (rmesh <= redges[b + 1])
+            out = jnp.where(rmask, out * rcounts[b], out)
+        return out
     dr = np.diff(redges)
     if np.allclose(dr, dr[0], rtol=1e-6, atol=0.0):
         # uniform edges (register builds them with linspace): ceil maps
